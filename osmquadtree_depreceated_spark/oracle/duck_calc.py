@@ -1,0 +1,81 @@
+"""DuckDB oracle for the buffered quadtree descent, fully unrolled.
+
+The reference's Calculate (quadtree.go:44-113) is a recursion over at most
+`max_level` levels.  For the driver's side-by-side correctness gate we unroll
+it into a chain of CTE levels, each computing the quadrant choice (the exact
+ordered elif-chain of findQuad, quadtree.go:62-86), accumulating the digit
+and depth, and rescaling the working coordinates.  Floating-point op order
+matches qtcore.calculate_cells, so DuckDB / NumPy / the scalar port agree
+bit-for-bit.
+
+This module emits DuckDB SQL only — the engine side evaluates the same
+algorithm through the Arrow-vectorized pandas UDF (functions/udfs.py).
+"""
+
+from __future__ import annotations
+
+
+def _find_quad_case(bf: float) -> str:
+    """CASE expression mirroring findQuad's ordered branches on working
+    coords (mx,my,hx,hy)."""
+    b = repr(bf)
+    return f"""case
+      when mx < (-1-{b}) or my < (-1-{b}) or hx > (1+{b}) or hy > (1+{b}) then -1
+      when hx <= 0 and my >= 0 then 0
+      when mx >= 0 and my >= 0 then 1
+      when hx <= 0 and hy <= 0 then 2
+      when mx >= 0 and hy <= 0 then 3
+      when (hx < {b} and abs(hx) < abs(mx)) and (my > -{b} and abs(hy) >= abs(my)) then 0
+      when (mx > -{b} and abs(hx) >= abs(mx)) and (my > -{b} and abs(hy) >= abs(my)) then 1
+      when (hx < {b} and abs(hx) < abs(mx)) and (hy < {b} and abs(hy) < abs(my)) then 2
+      when (mx > -{b} and abs(hx) >= abs(mx)) and (hy < {b} and abs(hy) < abs(my)) then 3
+      else -1 end"""
+
+
+def calculate_cte_sql(source_sql: str, key_cols: str, buffer: float = 0.05,
+                      max_level: int = 18, out_name: str = "cell") -> str:
+    """Return a DuckDB query computing the buffered cell per row.
+
+    source_sql: a relation producing `key_cols` plus fixed-point int64
+    columns minx, miny, maxx, maxy.  The result selects key_cols + the cell.
+    """
+    lines = [f"with l0 as (\n  select {key_cols},"]
+    lines.append(
+        """    (minx * 0.0000001 > maxx * 0.0000001
+      or miny * 0.0000001 > maxy * 0.0000001) as invalid,
+    false as done,
+    cast(0 as bigint) as res,
+    (minx * 0.0000001) / 180.0 as mx,
+    (case when maxx * 0.0000001 = minx * 0.0000001
+          then maxx * 0.0000001 + 0.0000001 else maxx * 0.0000001 end) / 180.0 as hx,
+    (ln(tan(pi() * (1.0 + (miny * 0.0000001) / 90.0) / 4.0)) * 90.0 / pi()) / 90.0 as my,
+    (ln(tan(pi() * (1.0 + (case when maxy * 0.0000001 = miny * 0.0000001
+           then maxy * 0.0000001 + 0.0000001 else maxy * 0.0000001 end) / 90.0) / 4.0))
+       * 90.0 / pi()) / 90.0 as hy
+  from (%s)
+)""" % source_sql
+    )
+    q = _find_quad_case(buffer)
+    for cl in range(max_level):
+        shift = 61 - 2 * cl
+        lines.append(
+            f""", l{cl + 1} as (
+  select {key_cols}, invalid,
+    done or q < 0 as done,
+    case when not done and q >= 0
+         then res + (cast(q as bigint) << {shift}) + 1 else res end as res,
+    (mx + xs) * 2.0 as mx, (hx + xs) * 2.0 as hx,
+    (my + ys) * 2.0 as my, (hy + ys) * 2.0 as hy
+  from (
+    select *,
+      case when q = 0 or q = 2 then 0.5 else -0.5 end as xs,
+      case when q = 2 or q = 3 then 0.5 else -0.5 end as ys
+    from (select *, {q} as q from l{cl})
+  )
+)"""
+        )
+    lines.append(
+        f"select {key_cols}, case when invalid then -1 else res end as {out_name} "
+        f"from l{max_level}"
+    )
+    return "\n".join(lines)
