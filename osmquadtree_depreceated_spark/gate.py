@@ -1,0 +1,543 @@
+"""Driver-gate query suite: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable plus an equivalent DuckDB oracle SQL.
+
+The Spark side runs ENGINE code (native cell expressions, Arrow UDF kernels,
+operator modules); the oracle side runs independently-generated DuckDB SQL
+(oracle/sqlgen.py + oracle/duck_calc.py).  Inputs are the driver's parquet
+tables plus the deterministic spatial synthesis of sources/tpch.py, which is
+dialect-neutral SQL shared verbatim by both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .functions.cells import cell_round, cell_string, cell_tuple, point_cell
+from .operators.ann import cosine_topk
+from .operators.calcqts import node_cells, relation_cells, way_bboxes, way_cells
+from .operators.spatial_join import (
+    bbox_join,
+    knn_join,
+    point_in_polygon_join,
+    raster_vector_join,
+)
+from .operators.update import latest_version, merge_changes
+from .oracle import sqlgen
+from .oracle.duck_calc import calculate_cte_fragments
+from .oracle.sqlgen import DUCK
+from .sources import tpch
+
+# ---------------------------------------------------------------- constants
+
+QUERY_BOXES = [
+    (1, -6000000, 503000000, -4000000, 507000000),
+    (2, 2000000, 514000000, 4000000, 516000000),
+    (3, 7000000, 510000000, 9000000, 512000000),
+    (4, -10000000, 500000000, 10000000, 520000000),
+    (5, 0, 505000000, 1000000, 506000000),
+    (6, -9500000, 518000000, -9000000, 519000000),
+    (7, 4800000, 500100000, 5200000, 500500000),
+    (8, -1000000, 509000000, 1000000, 511000000),
+]
+BOX_COLS = ["query_id", "qminx", "qminy", "qmaxx", "qmaxy"]
+
+POLY_LONS = [-6000000, -2000000, 0, 2000000, -1000000, -5000000]
+POLY_LATS = [502000000, 501000000, 505000000, 512000000, 516000000, 511000000]
+
+KNN_POINTS = [
+    (1, -5000000, 505000000),
+    (2, 3000000, 515000000),
+    (3, 8000000, 511000000),
+    (4, 0, 510000000),
+    (5, -9999999, 500000001),
+    (6, 9999999, 519999999),
+    (7, 123456, 507654321),
+    (8, -7654321, 513000000),
+]
+KNN_K = 5
+ANN_K = 3
+ANN_N_QUERIES = 5
+
+_prepped: dict = {}
+
+
+def _prep(spark: SparkSession, sf_dir: str) -> None:
+    key = (id(spark), sf_dir)
+    if key not in _prepped:
+        tpch.load_base_tables(spark, sf_dir)
+        tpch.register_synth_views(spark)
+        _prepped[key] = True
+
+
+def _values_sql(rows, cols, alias="q") -> str:
+    vals = ", ".join("(" + ", ".join(str(v) for v in r) + ")" for r in rows)
+    return f"(values {vals}) as {alias}({', '.join(cols)})"
+
+
+def _boxes_df(spark):
+    return spark.createDataFrame(QUERY_BOXES, BOX_COLS)
+
+
+def _way_bbox_df(spark):
+    return way_bboxes(
+        spark.table("way_refs"), spark.table("nodes"), salt_buckets=8
+    )
+
+
+# way-bbox CTE shared by several oracles
+_WB_CTE = """wb as (
+  select way_id, min(n.lon) as minx, min(n.lat) as miny,
+         max(n.lon) as maxx, max(n.lat) as maxy
+  from way_refs w join nodes n on w.ref = n.node_id
+  group by way_id
+)"""
+
+
+def _way_cells_oracle_ctes() -> str:
+    return (
+        tpch.synth_cte_prefix("nodes", "way_refs")[len("with "):]
+        + ",\n" + _WB_CTE + ",\n"
+        + calculate_cte_fragments("select * from wb", "way_id", 0.05, 18,
+                                  prefix="wc")
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q01_node_cell_histogram(spark, sf_dir) -> DataFrame:
+    """Point-cell assignment (native closed form) + per-cell counts — the
+    minimum end-to-end slice of SURVEY.md §7.1 step 3."""
+    _prep(spark, sf_dir)
+    return (
+        spark.table("nodes")
+        .select(point_cell("lon", "lat", 18).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
+def q01_oracle() -> str:
+    cell = sqlgen.point_cell_sql(DUCK, "lon", "lat", 18)
+    return (
+        tpch.synth_cte_prefix("nodes")
+        + f"\nselect {cell} as cell, count(*) as n_nodes from nodes group by 1"
+    )
+
+
+def q02_cell_codec(spark, sf_dir) -> DataFrame:
+    """Cell codec surface: int64 -> 'ABCD…' string and slippy (x,y,z)."""
+    _prep(spark, sf_dir)
+    cells = (
+        spark.table("nodes")
+        .select(point_cell("lon", "lat", 18).alias("cell"))
+        .distinct()
+    )
+    tup = cell_tuple("cell")
+    return cells.select(
+        "cell",
+        cell_string("cell").alias("cell_str"),
+        tup["x"].alias("tile_x"),
+        tup["y"].alias("tile_y"),
+        tup["z"].alias("tile_z"),
+    )
+
+
+def q02_oracle() -> str:
+    cell = sqlgen.point_cell_sql(DUCK, "lon", "lat", 18)
+    tup = sqlgen.cell_tuple_sql(DUCK, "cell")
+    s = sqlgen.cell_string_sql(DUCK, "cell")
+    return (
+        tpch.synth_cte_prefix("nodes")
+        + f""",
+cells as (select distinct {cell} as cell from nodes)
+select cell, {s} as cell_str, {tup['x']} as tile_x,
+       {tup['y']} as tile_y, {tup['z']} as tile_z
+from cells"""
+    )
+
+
+def q03_way_cells(spark, sf_dir) -> DataFrame:
+    """Way bbox aggregation (salted two-phase) + buffered cell calculation —
+    the calcqts way pass (resortwaynodes.go:539-630)."""
+    _prep(spark, sf_dir)
+    return way_cells(_way_bbox_df(spark), 0.05, 18)
+
+
+def q03_oracle() -> str:
+    return (
+        "with " + _way_cells_oracle_ctes()
+        + "\nselect way_id, cell from wc_cells"
+    )
+
+
+def q04_node_cells(spark, sf_dir) -> DataFrame:
+    """Node cell = Common over parent-way cells (distributed min/max fold)
+    with point-box fallback (resortwaynodes.go:696-709)."""
+    _prep(spark, sf_dir)
+    wcells = way_cells(_way_bbox_df(spark), 0.05, 18)
+    return node_cells(
+        spark.table("nodes"), spark.table("way_refs"), wcells, 0.05, 18
+    )
+
+
+def q04_oracle() -> str:
+    fin = sqlgen.common_finish_sql(DUCK, "p.mn", "p.mx", "p.md")
+    fb_src = ("select node_id, lon as minx, lat as miny, "
+              "lon + 1 as maxx, lat + 1 as maxy from nodes")
+    return (
+        "with " + _way_cells_oracle_ctes() + ",\n"
+        + calculate_cte_fragments(fb_src, "node_id", 0.05, 18, prefix="fb")
+        + """,
+parent as (
+  select w.ref as node_id,
+         min((case when c.cell >= 0 then c.cell end) & (-32)) as mn,
+         max((case when c.cell >= 0 then c.cell end) & (-32)) as mx,
+         min((case when c.cell >= 0 then c.cell end) & 31) as md
+  from way_refs w join wc_cells c using (way_id)
+  group by w.ref
+)
+select n.node_id,
+       coalesce(""" + fin + """, f.cell) as cell
+from nodes n
+left join parent p on n.node_id = p.node_id
+join fb_cells f on n.node_id = f.node_id"""
+    )
+
+
+def q05_rel_cells(spark, sf_dir) -> DataFrame:
+    """Relation cells: Common over member-way cells with the 5-round
+    rel->rel closure machinery (resortwaynodes.go:767-824)."""
+    _prep(spark, sf_dir)
+    wcells = way_cells(_way_bbox_df(spark), 0.05, 18)
+    members = spark.table("rels").select(
+        "rel_id", F.lit("w").alias("mtype"), F.col("member_way").alias("ref")
+    )
+    empty_nodes = spark.createDataFrame([], "node_id long, cell long")
+    return relation_cells(members, wcells, empty_nodes, rounds=5)
+
+
+def q05_oracle() -> str:
+    fin = sqlgen.common_finish_sql(DUCK, "mn", "mx", "md")
+    return (
+        "with " + _way_cells_oracle_ctes() + ",\n"
+        + tpch.synth_cte_prefix("rels")[len("with "):] + """,
+agg as (
+  select rel_id,
+         min((case when cell >= 0 then cell end) & (-32)) as mn,
+         max((case when cell >= 0 then cell end) & (-32)) as mx,
+         min((case when cell >= 0 then cell end) & 31) as md
+  from rels r join wc_cells c on r.member_way = c.way_id
+  group by rel_id
+)
+select rel_id, coalesce(""" + fin + """, -1) as cell from agg"""
+    )
+
+
+def q06_bbox_join(spark, sf_dir) -> DataFrame:
+    """Query-bbox × way-bbox spatial join (packeddatastore.go:382-425)."""
+    _prep(spark, sf_dir)
+    return bbox_join(_boxes_df(spark), _way_bbox_df(spark)).select(
+        "query_id", "way_id"
+    )
+
+
+def q06_oracle() -> str:
+    boxes = _values_sql(QUERY_BOXES, BOX_COLS)
+    pred = sqlgen.bbox_intersects_sql(
+        {"minx": "minx", "miny": "miny", "maxx": "maxx", "maxy": "maxy"},
+        {"minx": "qminx", "miny": "qminy", "maxx": "qmaxx", "maxy": "qmaxy"},
+    )
+    return (
+        tpch.synth_cte_prefix("nodes", "way_refs")
+        + f",\n{_WB_CTE}\nselect query_id, way_id from wb, {boxes} where {pred}"
+    )
+
+
+def q07_pip_join(spark, sf_dir) -> DataFrame:
+    """Point-in-polygon join (pnpoly crossing number, bbox.go:158-194)."""
+    _prep(spark, sf_dir)
+    return point_in_polygon_join(
+        spark.table("nodes"), POLY_LONS, POLY_LATS
+    ).select("node_id")
+
+
+def q07_oracle() -> str:
+    pred = sqlgen.pnpoly_sql(POLY_LONS, POLY_LATS, "lon", "lat")
+    return (
+        tpch.synth_cte_prefix("nodes")
+        + f"\nselect node_id from nodes where {pred}"
+    )
+
+
+def q08_knn(spark, sf_dir) -> DataFrame:
+    """kNN per query point (squared-euclidean, ties by id — FIXTURES.md
+    golden_knn)."""
+    _prep(spark, sf_dir)
+    qdf = spark.createDataFrame(KNN_POINTS, ["query_id", "qlon", "qlat"])
+    return knn_join(qdf, spark.table("nodes"), KNN_K)
+
+
+def q08_oracle() -> str:
+    pts = _values_sql(KNN_POINTS, ["query_id", "qlon", "qlat"])
+    return (
+        tpch.synth_cte_prefix("nodes")
+        + f"""
+select query_id, rank, node_id, dist2 from (
+  select query_id, node_id,
+         (lon - qlon) * (lon - qlon) + (lat - qlat) * (lat - qlat) as dist2,
+         row_number() over (
+           partition by query_id
+           order by (lon - qlon) * (lon - qlon) + (lat - qlat) * (lat - qlat) asc,
+                    node_id asc
+         ) as rank
+  from nodes, {pts}
+) where rank <= {KNN_K}"""
+    )
+
+
+def q09_raster_tiles(spark, sf_dir) -> DataFrame:
+    """Raster-tile↔vector join key: way cells rounded to z12 slippy tiles,
+    counted per tile (quadtree.go:181-213)."""
+    _prep(spark, sf_dir)
+    wcells = way_cells(_way_bbox_df(spark), 0.05, 18)
+    tiles = raster_vector_join(wcells, 12)
+    return tiles.groupBy("tile_x", "tile_y", "tile_z").agg(
+        F.count(F.lit(1)).alias("n_ways")
+    )
+
+
+def q09_oracle() -> str:
+    rounded = sqlgen.cell_round_sql(DUCK, "cell", 12)
+    tup = sqlgen.cell_tuple_sql(DUCK, "tile_cell")
+    return (
+        "with " + _way_cells_oracle_ctes()
+        + f""",
+t as (select {rounded} as tile_cell from wc_cells)
+select {tup['x']} as tile_x, {tup['y']} as tile_y, {tup['z']} as tile_z,
+       count(*) as n_ways
+from t group by 1, 2, 3"""
+    )
+
+
+def q10_ann_topk(spark, sf_dir) -> DataFrame:
+    """Brute-force cosine top-k over the embeddings table (ANN baseline;
+    Arrow-batched local top-k combiner + global window)."""
+    _prep(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    return cosine_topk(queries, emb, ANN_K)
+
+
+def q10_oracle() -> str:
+    return f"""
+with q as (select vec_id as qid, embedding as qe from embeddings
+           where vec_id < {ANN_N_QUERIES})
+select qid as query_id, rank, neighbor_id from (
+  select q.qid, e.vec_id as neighbor_id,
+         row_number() over (
+           partition by q.qid
+           order by list_cosine_similarity(e.embedding, q.qe) desc,
+                    e.vec_id asc
+         ) as rank
+  from embeddings e, q
+  where e.vec_id <> q.qid
+) where rank <= {ANN_K}"""
+
+
+def q11_span_roundtrip(spark, sf_dir) -> DataFrame:
+    """Interleaved docs pipeline with span-sequence preservation: build
+    docs(doc_id, spans) rows, parse the node span natively, assign cells,
+    spatially filter, then join back and re-emit the ORIGINAL spans —
+    exploded so the driver value-hashes every (kind, text, media_ref,
+    offset)."""
+    _prep(spark, sf_dir)
+    docs = spark.sql(_SPAN_DOCS_SPARK_SQL)
+    from .sources.docs import parse_spans
+
+    nodes = parse_spans(docs)["nodes"]
+    cells = nodes.select(
+        "doc_id", "lon", "lat", point_cell("lon", "lat", 18).alias("cell")
+    )
+    keep = cells.filter(
+        (F.col("lon") >= -6000000) & (F.col("lon") <= 2000000)
+        & (F.col("lat") >= 503000000) & (F.col("lat") <= 516000000)
+    ).select("doc_id")
+    survived = docs.join(keep, "doc_id")  # shuffle; spans untouched
+    return survived.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+_SPAN_DERIVE = """
+select doc_id,
+  ((doc_id * 48271) % 20000001) - 10000000 as lon,
+  500000000 + ((doc_id * 69621) % 20000001) as lat,
+  text
+from documents
+"""
+
+_SPAN_DOCS_SPARK_SQL = f"""
+select cast(doc_id as string) as doc_id,
+  array(
+    struct('node' as kind,
+           concat(cast(doc_id as string), ' ', cast(lon as string), ' ',
+                  cast(lat as string)) as text,
+           '' as media_ref, 0 as offset),
+    struct('media' as kind,
+           concat('cap ', substr(md5(text), 1, 8)) as text,
+           concat('m://', md5(text)) as media_ref, 1 as offset),
+    struct('tag' as kind, concat('src=', cast(doc_id % 7 as string)) as text,
+           '' as media_ref, 2 as offset)
+  ) as spans
+from ({_SPAN_DERIVE}) d
+"""
+
+
+def q11_oracle() -> str:
+    return f"""
+with d as ({_SPAN_DERIVE}),
+docs as (
+  select cast(doc_id as varchar) as doc_id, lon, lat,
+    [
+      struct_pack(kind := 'node',
+                  text := cast(doc_id as varchar) || ' ' ||
+                          cast(lon as varchar) || ' ' || cast(lat as varchar),
+                  media_ref := '', "offset" := 0),
+      struct_pack(kind := 'media',
+                  text := 'cap ' || substr(md5(text), 1, 8),
+                  media_ref := 'm://' || md5(text), "offset" := 1),
+      struct_pack(kind := 'tag',
+                  text := 'src=' || cast(doc_id % 7 as varchar),
+                  media_ref := '', "offset" := 2)
+    ] as spans
+  from d
+),
+kept as (
+  select * from docs
+  where lon >= -6000000 and lon <= 2000000
+    and lat >= 503000000 and lat <= 516000000
+),
+ex as (select doc_id, unnest(spans) as s from kept)
+select doc_id, s."offset" as "offset", s.kind as kind, s.text as text,
+       s.media_ref as media_ref
+from ex"""
+
+
+def q12_latest_event(spark, sf_dir) -> DataFrame:
+    """Newest event per user (filterLastObj semantics, update.go:69-110)."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events")
+    return latest_version(
+        ev, ["user_id"], [("ts", "desc"), ("event_id", "desc")]
+    ).select("user_id", "event_id", "event_type", "value")
+
+
+def q12_oracle() -> str:
+    return """
+select user_id, event_id, event_type, value from (
+  select user_id, event_id, event_type, value,
+         row_number() over (partition by user_id
+                            order by ts desc, event_id desc) as rn
+  from events
+) where rn = 1"""
+
+
+def q13_change_merge(spark, sf_dir) -> DataFrame:
+    """Change-batch merge with Delete/Modify/Create semantics
+    (mergechange.go:18-65): base = orders, synthetic change stream derived
+    from lineitem."""
+    _prep(spark, sf_dir)
+    base = spark.table("orders").select(
+        F.col("o_orderkey").alias("key"), F.col("o_totalprice").alias("val")
+    )
+    changes = spark.sql(_CHANGES_SQL)
+    return merge_changes(base, changes, "key", "change_type", "seq", ["val"])
+
+
+# (l_orderkey, l_linenumber) is not unique in the synthetic data, so the
+# change stream aggregates to one row per (key, seq) — otherwise the
+# newest-version window would break ties nondeterministically.
+_CHANGES_SQL = """
+select key, seq, change_type, max(val) as val from (
+  select l_orderkey as key, cast(l_linenumber as bigint) as seq,
+    case when l_linenumber % 3 = 0 then 'delete'
+         when l_linenumber % 3 = 1 then 'modify'
+         else 'create' end as change_type,
+    l_extendedprice as val
+  from lineitem
+) raw group by key, seq, change_type
+"""
+
+
+def q13_oracle() -> str:
+    return f"""
+with changes as ({_CHANGES_SQL}),
+last as (
+  select key, change_type, val from (
+    select key, change_type, val,
+           row_number() over (partition by key order by seq desc) as rn
+    from changes
+  ) where rn = 1
+),
+base as (select o_orderkey as key, o_totalprice as val from orders)
+select coalesce(b.key, c.key) as key,
+       case when c.change_type in ('modify', 'create') then c.val
+            else b.val end as val
+from base b full outer join last c on b.key = c.key
+where c.change_type is null or c.change_type <> 'delete'"""
+
+
+# --------------------------------------------------------------- registry
+
+GATE_QUERIES = {
+    "q01_node_cell_histogram": q01_node_cell_histogram,
+    "q02_cell_codec": q02_cell_codec,
+    "q03_way_cells": q03_way_cells,
+    "q04_node_cells": q04_node_cells,
+    "q05_rel_cells": q05_rel_cells,
+    "q06_bbox_join": q06_bbox_join,
+    "q07_pip_join": q07_pip_join,
+    "q08_knn": q08_knn,
+    "q09_raster_tiles": q09_raster_tiles,
+    "q10_ann_topk": q10_ann_topk,
+    "q11_span_roundtrip": q11_span_roundtrip,
+    "q12_latest_event": q12_latest_event,
+    "q13_change_merge": q13_change_merge,
+}
+
+GATE_ORACLES = {
+    "q01_node_cell_histogram": q01_oracle(),
+    "q02_cell_codec": q02_oracle(),
+    "q03_way_cells": q03_oracle(),
+    "q04_node_cells": q04_oracle(),
+    "q05_rel_cells": q05_oracle(),
+    "q06_bbox_join": q06_oracle(),
+    "q07_pip_join": q07_oracle(),
+    "q08_knn": q08_oracle(),
+    "q09_raster_tiles": q09_oracle(),
+    "q10_ann_topk": q10_oracle(),
+    "q11_span_roundtrip": q11_oracle(),
+    "q12_latest_event": q12_oracle(),
+    "q13_change_merge": q13_oracle(),
+}
+
+
+def entry_query(spark: SparkSession,
+                sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Flagship: tile-assignment + spatial-join — way cells joined to the
+    query boxes, counted per (query, z12 tile)."""
+    _prep(spark, sf_dir)
+    wb = _way_bbox_df(spark)
+    wc = way_cells(wb, 0.05, 18).join(wb, "way_id")
+    joined = bbox_join(_boxes_df(spark), wc)
+    tiles = raster_vector_join(joined, 12)
+    return tiles.groupBy("query_id", "tile_x", "tile_y", "tile_z").agg(
+        F.count(F.lit(1)).alias("n_ways")
+    )

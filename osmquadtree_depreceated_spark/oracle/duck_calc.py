@@ -32,14 +32,14 @@ def _find_quad_case(bf: float) -> str:
       else -1 end"""
 
 
-def calculate_cte_sql(source_sql: str, key_cols: str, buffer: float = 0.05,
-                      max_level: int = 18, out_name: str = "cell") -> str:
-    """Return a DuckDB query computing the buffered cell per row.
-
-    source_sql: a relation producing `key_cols` plus fixed-point int64
-    columns minx, miny, maxx, maxy.  The result selects key_cols + the cell.
-    """
-    lines = [f"with l0 as (\n  select {key_cols},"]
+def calculate_cte_fragments(source_sql: str, key_cols: str,
+                            buffer: float = 0.05, max_level: int = 18,
+                            out_name: str = "cell", prefix: str = "l") -> str:
+    """CTE fragment chain (no leading WITH) computing the buffered cell per
+    row of `source_sql` (which must yield `key_cols` + int64 minx/miny/maxx/
+    maxy).  The last CTE is named `{prefix}_cells` selecting key_cols +
+    `{out_name}`.  Compose: `with {other_ctes}, {fragments} select ...`."""
+    lines = [f"{prefix}0 as (\n  select {key_cols},"]
     lines.append(
         """    (minx * 0.0000001 > maxx * 0.0000001
       or miny * 0.0000001 > maxy * 0.0000001) as invalid,
@@ -59,7 +59,7 @@ def calculate_cte_sql(source_sql: str, key_cols: str, buffer: float = 0.05,
     for cl in range(max_level):
         shift = 61 - 2 * cl
         lines.append(
-            f""", l{cl + 1} as (
+            f""", {prefix}{cl + 1} as (
   select {key_cols}, invalid,
     done or q < 0 as done,
     case when not done and q >= 0
@@ -70,12 +70,22 @@ def calculate_cte_sql(source_sql: str, key_cols: str, buffer: float = 0.05,
     select *,
       case when q = 0 or q = 2 then 0.5 else -0.5 end as xs,
       case when q = 2 or q = 3 then 0.5 else -0.5 end as ys
-    from (select *, {q} as q from l{cl})
+    from (select *, {q} as q from {prefix}{cl})
   )
 )"""
         )
     lines.append(
-        f"select {key_cols}, case when invalid then -1 else res end as {out_name} "
-        f"from l{max_level}"
+        f""", {prefix}_cells as (
+  select {key_cols}, case when invalid then -1 else res end as {out_name}
+  from {prefix}{max_level}
+)"""
     )
     return "\n".join(lines)
+
+
+def calculate_cte_sql(source_sql: str, key_cols: str, buffer: float = 0.05,
+                      max_level: int = 18, out_name: str = "cell") -> str:
+    """Standalone DuckDB query computing the buffered cell per row."""
+    frags = calculate_cte_fragments(source_sql, key_cols, buffer, max_level,
+                                    out_name)
+    return f"with {frags}\nselect * from l_cells"
