@@ -12,7 +12,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .functions.cells import cell_round, cell_string, cell_tuple, point_cell
+from .functions.cells import (
+    cell_round,
+    cell_string,
+    point_cell,
+    with_cell_tuple,
+    with_point_cell,
+)
 from .operators.ann import cosine_topk
 from .operators.calcqts import node_cells, relation_cells, way_bboxes, way_cells
 from .operators.spatial_join import (
@@ -110,8 +116,7 @@ def q01_node_cell_histogram(spark, sf_dir) -> DataFrame:
     minimum end-to-end slice of SURVEY.md §7.1 step 3."""
     _prep(spark, sf_dir)
     return (
-        spark.table("nodes")
-        .select(point_cell("lon", "lat", 18).alias("cell"))
+        with_point_cell(spark.table("nodes"), "lon", "lat", "cell", 18)
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
@@ -129,17 +134,16 @@ def q02_cell_codec(spark, sf_dir) -> DataFrame:
     """Cell codec surface: int64 -> 'ABCD…' string and slippy (x,y,z)."""
     _prep(spark, sf_dir)
     cells = (
-        spark.table("nodes")
-        .select(point_cell("lon", "lat", 18).alias("cell"))
+        with_point_cell(spark.table("nodes"), "lon", "lat", "cell", 18)
+        .select("cell")
         .distinct()
     )
-    tup = cell_tuple("cell")
-    return cells.select(
+    return with_cell_tuple(cells, "cell", prefix="tile_").select(
         "cell",
         cell_string("cell").alias("cell_str"),
-        tup["x"].alias("tile_x"),
-        tup["y"].alias("tile_y"),
-        tup["z"].alias("tile_z"),
+        "tile_x",
+        "tile_y",
+        "tile_z",
     )
 
 
@@ -494,6 +498,279 @@ from base b full outer join last c on b.key = c.key
 where c.change_type is null or c.change_type <> 'delete'"""
 
 
+# ------------------------------------------------- documents pipeline ops
+
+_SW = "'the', 'and', 'of', 'a', 'to', 'in', 'is'"
+
+# DuckDB CTE computing per-doc token stats over the augmented docs table
+_DUCK_TEXT_CTE = """
+t as (
+  select doc_id, text, source, n_chars, string_split(text, ' ') as w
+  from docs_aug
+),
+ts as (
+  select doc_id, text, source, n_chars,
+         len(w) as nt,
+         len(list_filter(w, x -> x in (%s))) as sc,
+         cast(floor(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+              * 100.0 / greatest(len(w), 1)) as bigint) as atl
+  from t
+)""" % _SW
+
+
+def q14_text_stats(spark, sf_dir) -> DataFrame:
+    """Per-document text statistics (token counts, stopword counts, average
+    token length, quality bucket) — all native expressions."""
+    _prep(spark, sf_dir)
+    from .functions import text as T
+
+    return spark.table("docs_aug").select(
+        "doc_id",
+        T.n_tokens().alias("n_tokens"),
+        T.stopword_count().alias("stopword_cnt"),
+        T.avg_token_len_x100().alias("avg_token_len_x100"),
+        T.quality_bucket().alias("quality_bucket"),
+    )
+
+
+def q14_oracle() -> str:
+    return (
+        tpch.synth_cte_prefix("docs_aug") + ",\n" + _DUCK_TEXT_CTE + """
+select doc_id, nt as n_tokens, sc as stopword_cnt, atl as avg_token_len_x100,
+  case when nt < 10 then 0
+       when sc * 20 < nt then 1
+       when sc * 2 > nt then 2
+       else 3 end as quality_bucket
+from ts"""
+    )
+
+
+def q15_lang_id(spark, sf_dir) -> DataFrame:
+    """Heuristic language ID: stopword-ratio vote."""
+    _prep(spark, sf_dir)
+    from .functions import text as T
+
+    return spark.table("docs_aug").select(
+        "doc_id",
+        F.when(
+            T.stopword_count() * 5 >= T.n_tokens(), F.lit("en")
+        ).otherwise(F.lit("unk")).alias("lang_guess"),
+    )
+
+
+def q15_oracle() -> str:
+    return (
+        tpch.synth_cte_prefix("docs_aug") + ",\n" + _DUCK_TEXT_CTE + """
+select doc_id,
+       case when sc * 5 >= nt then 'en' else 'unk' end as lang_guess
+from ts"""
+    )
+
+
+def q16_token_count(spark, sf_dir) -> DataFrame:
+    """Corpus token accounting per source: whitespace tokens + BPE-ish
+    estimate (ceil(chars/4))."""
+    _prep(spark, sf_dir)
+    from .functions import text as T
+
+    return (
+        spark.table("docs_aug")
+        .select("source", T.n_tokens().alias("nt"),
+                T.bpe_token_estimate().alias("bpe"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+            F.sum("bpe").alias("total_bpe_est"),
+        )
+    )
+
+
+def q16_oracle() -> str:
+    return (
+        tpch.synth_cte_prefix("docs_aug") + ",\n" + _DUCK_TEXT_CTE + """
+select source, count(*) as n_docs,
+       cast(sum(nt) as bigint) as total_tokens,
+       cast(sum(cast(ceil(n_chars / 4.0) as bigint)) as bigint)
+         as total_bpe_est
+from ts group by source"""
+    )
+
+
+def q17_fingerprint(spark, sf_dir) -> DataFrame:
+    """Document fingerprint (md5-prefix native fast path; the rolling-hash
+    winnowing variant is rolling_fingerprint_udf, exercised in tests)."""
+    _prep(spark, sf_dir)
+    from .functions.text import fingerprint_md5_16
+
+    return spark.table("docs_aug").select(
+        "doc_id", fingerprint_md5_16().alias("fp16")
+    )
+
+
+def q17_oracle() -> str:
+    return (
+        tpch.synth_cte_prefix("docs_aug")
+        + "\nselect doc_id, substr(md5(text), 1, 16) as fp16 from docs_aug"
+    )
+
+
+def q18_dedup_exact(spark, sf_dir) -> DataFrame:
+    """Exact duplicate groups via content-hash groupBy."""
+    _prep(spark, sf_dir)
+    from .operators.dedup import exact_duplicates
+
+    return exact_duplicates(spark.table("docs_aug"))
+
+
+def q18_oracle() -> str:
+    return (
+        tpch.synth_cte_prefix("docs_aug")
+        + """
+select md5(text) as text_md5, count(*) as n_copies, min(doc_id) as min_doc_id
+from docs_aug group by 1 having count(*) > 1"""
+    )
+
+
+_DUCK_SHINGLE_CTE = """
+t as (select doc_id as doc, string_split(text, ' ') as w from docs_aug),
+s as (
+  select doc,
+    case when len(w) < 3 then []
+         else list_transform(generate_series(1, len(w) - 2),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) end
+      as sh
+  from t
+),
+m as (
+  select doc,
+    list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') as mh0,
+    list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min') as mh1,
+    list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') as mh2,
+    list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min') as mh3
+  from s
+),
+bands as (
+  select doc, concat_ws('|', '0', mh0, mh1) as band_key from m
+  where mh0 is not null and mh1 is not null
+  union all
+  select doc, concat_ws('|', '1', mh2, mh3) as band_key from m
+  where mh2 is not null and mh3 is not null
+),
+cand as (
+  select distinct a.doc as doc_a, b.doc as doc_b
+  from bands a join bands b on a.band_key = b.band_key and a.doc < b.doc
+)"""
+
+
+def q19_minhash_bands(spark, sf_dir) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs (banded equi-join — the
+    no-all-pairs scale path)."""
+    _prep(spark, sf_dir)
+    from .operators.dedup import minhash_candidates
+
+    return minhash_candidates(spark.table("docs_aug"))
+
+
+def q19_oracle() -> str:
+    return (
+        tpch.synth_cte_prefix("docs_aug") + ",\n" + _DUCK_SHINGLE_CTE
+        + "\nselect doc_a, doc_b from cand"
+    )
+
+
+def q20_jaccard_verify(spark, sf_dir) -> DataFrame:
+    """Exact shingle-Jaccard verification of the MinHash candidates."""
+    _prep(spark, sf_dir)
+    from .operators.dedup import jaccard_verify, minhash_candidates
+
+    docs = spark.table("docs_aug")
+    return jaccard_verify(docs, minhash_candidates(docs))
+
+
+def q20_oracle() -> str:
+    return (
+        tpch.synth_cte_prefix("docs_aug") + ",\n" + _DUCK_SHINGLE_CTE + """,
+ex as (
+  select distinct doc, shingle from (
+    select doc, unnest(sh) as shingle from s
+  )
+),
+sizes as (select doc, count(*) as n from ex group by doc),
+inter as (
+  select c.doc_a, c.doc_b, count(*) as ni
+  from cand c
+  join ex ea on ea.doc = c.doc_a
+  join ex eb on eb.doc = c.doc_b and eb.shingle = ea.shingle
+  group by 1, 2
+)
+select i.doc_a, i.doc_b,
+       cast(floor(1000.0 * i.ni / (na.n + nb.n - i.ni)) as bigint)
+         as jaccard_x1000
+from inter i
+join sizes na on na.doc = i.doc_a
+join sizes nb on nb.doc = i.doc_b
+where cast(floor(1000.0 * i.ni / (na.n + nb.n - i.ni)) as bigint) >= 500"""
+    )
+
+
+# embeddings augmented with planted near-duplicates: x0.5-scaled copies
+# (exact in both float32 and float64, cosine == 1 up to rounding)
+_EMB_AUG_SPARK_SQL = """
+select vec_id, embedding from embeddings
+union all
+select vec_id + 10000 as vec_id,
+       transform(embedding, x -> x * cast(0.5 as float)) as embedding
+from embeddings where vec_id % 4 = 0
+"""
+
+_EMB_AUG_DUCK = """
+emb_aug as (
+  select vec_id, embedding from embeddings
+  union all
+  select vec_id + 10000 as vec_id,
+         list_transform(embedding, x -> x * 0.5) as embedding
+  from embeddings where vec_id % 4 = 0
+)"""
+
+
+def q21_embed_neardup(spark, sf_dir) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= 0.95), brute-force
+    baseline with planted x0.5-scaled duplicates."""
+    _prep(spark, sf_dir)
+    from .operators.dedup import embedding_neardup_brute
+
+    aug = spark.sql(_EMB_AUG_SPARK_SQL)
+    return embedding_neardup_brute(aug, 0.95)
+
+
+def q21_oracle() -> str:
+    return f"""
+with {_EMB_AUG_DUCK}
+select a.vec_id as doc_a, b.vec_id as doc_b
+from emb_aug a join emb_aug b on a.vec_id < b.vec_id
+where list_cosine_similarity(a.embedding, b.embedding) >= 0.95"""
+
+
+def q22_simhash(spark, sf_dir) -> DataFrame:
+    """60-bit SimHash per document (native aggregates; no DuckDB oracle —
+    conv() has no DuckDB equivalent, driver records rows-only)."""
+    _prep(spark, sf_dir)
+    from .operators.dedup import simhash64
+
+    return simhash64(spark.table("docs_aug"))
+
+
+def q23_embed_neardup_lsh(spark, sf_dir) -> DataFrame:
+    """LSH sign-bucket near-dup scale path (recall vs brute asserted in
+    tests; rows-only check here)."""
+    _prep(spark, sf_dir)
+    from .operators.dedup import embedding_neardup_lsh
+
+    aug = spark.sql(_EMB_AUG_SPARK_SQL)
+    return embedding_neardup_lsh(aug, 0.95)
+
+
 # --------------------------------------------------------------- registry
 
 GATE_QUERIES = {
@@ -510,6 +787,16 @@ GATE_QUERIES = {
     "q11_span_roundtrip": q11_span_roundtrip,
     "q12_latest_event": q12_latest_event,
     "q13_change_merge": q13_change_merge,
+    "q14_text_stats": q14_text_stats,
+    "q15_lang_id": q15_lang_id,
+    "q16_token_count": q16_token_count,
+    "q17_fingerprint": q17_fingerprint,
+    "q18_dedup_exact": q18_dedup_exact,
+    "q19_minhash_bands": q19_minhash_bands,
+    "q20_jaccard_verify": q20_jaccard_verify,
+    "q21_embed_neardup": q21_embed_neardup,
+    "q22_simhash": q22_simhash,
+    "q23_embed_neardup_lsh": q23_embed_neardup_lsh,
 }
 
 GATE_ORACLES = {
@@ -526,6 +813,17 @@ GATE_ORACLES = {
     "q11_span_roundtrip": q11_oracle(),
     "q12_latest_event": q12_oracle(),
     "q13_change_merge": q13_oracle(),
+    "q14_text_stats": q14_oracle(),
+    "q15_lang_id": q15_oracle(),
+    "q16_token_count": q16_oracle(),
+    "q17_fingerprint": q17_oracle(),
+    "q18_dedup_exact": q18_oracle(),
+    "q19_minhash_bands": q19_oracle(),
+    "q20_jaccard_verify": q20_oracle(),
+    "q21_embed_neardup": q21_oracle(),
+    # q22_simhash / q23_embed_neardup_lsh: intentionally no oracle —
+    # rows-only driver check; semantics covered by pytest (LSH recall vs
+    # brute, simhash determinism).
 }
 
 

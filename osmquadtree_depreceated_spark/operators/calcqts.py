@@ -19,7 +19,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.cells import common_agg, common_finish
+from ..functions.cells import (
+    common_agg,
+    common_finish,
+    with_cell_of_bbox,
+    with_common_finish,
+)
 from ..functions.udfs import cell_of_bbox_udf
 
 
@@ -65,10 +70,28 @@ def way_bboxes(way_refs: DataFrame, nodes: DataFrame,
     return j.groupBy("way_id").agg(*aggs)
 
 
+def cells_of_bboxes(df: DataFrame, buffer: float, max_level: int,
+                    out: str = "cell") -> DataFrame:
+    """Buffered-cell computation over (minx,miny,maxx,maxy): the unrolled
+    native descent seeded with libm-exact mercator values (exact_merc) —
+    bit-identical to the NumPy/scalar/DuckDB oracles on EVERY box, with all
+    heavy per-level arithmetic in Tungsten."""
+    return with_cell_of_bbox(
+        df, "minx", "miny", "maxx", "maxy", out, buffer, max_level,
+        exact_merc=True,
+    )
+
+
 def way_cells(way_bbox: DataFrame, buffer: float = 0.05,
-              max_level: int = 18) -> DataFrame:
-    """Buffered cell per way bbox (resortwaynodes.go:615,:621-625) via the
-    Arrow-vectorized exact kernel."""
+              max_level: int = 18, native: bool = True) -> DataFrame:
+    """Buffered cell per way bbox (resortwaynodes.go:615,:621-625).
+
+    native=True uses the hybrid native/Arrow dispatch (see cells_of_bboxes);
+    native=False forces the Arrow-vectorized NumPy kernel everywhere."""
+    if native:
+        return cells_of_bboxes(way_bbox, buffer, max_level).select(
+            "way_id", "cell"
+        )
     calc = cell_of_bbox_udf(buffer, max_level)
     return way_bbox.select(
         "way_id", calc("minx", "miny", "maxx", "maxy").alias("cell")
@@ -76,36 +99,38 @@ def way_cells(way_bbox: DataFrame, buffer: float = 0.05,
 
 
 def node_cells(nodes: DataFrame, way_refs: DataFrame, wcells: DataFrame,
-               buffer: float = 0.05, max_level: int = 18) -> DataFrame:
+               buffer: float = 0.05, max_level: int = 18,
+               native: bool = True) -> DataFrame:
     """Node cell = Common over parent-way cells, falling back to the node's
-    own point-box cell (resortwaynodes.go:696-709).
+    own point-box cell Calculate((lon,lat,lon+1,lat+1), buffer, 18)
+    (resortwaynodes.go:696-709).
 
     The Common fold runs as three native min/max aggregates plus a bit-math
     finish (SURVEY.md §7.4) — associative, so map-side partials absorb hot
-    nodes.  The fallback point-box Calculate((lon,lat,lon+1,lat+1), 0.05, 18)
-    uses the exact kernel.
+    nodes.  The fallback descent is fully native when native=True.
     """
-    parent = (
-        way_refs.join(wcells, "way_id")
-        .groupBy("ref")
-        .agg(*common_agg("cell"))
-        .select(F.col("ref").alias("node_id"), common_finish().alias("way_common"))
+    parent = with_common_finish(
+        way_refs.join(wcells, "way_id").groupBy("ref").agg(*common_agg("cell")),
+        out="way_common",
+    ).select(F.col("ref").alias("node_id"), "way_common")
+    joined = nodes.join(parent, "node_id", "left")
+    # Nodes WITH parent ways never touch Python.  Orphan nodes take the
+    # Arrow kernel: their 1-unit point box is always in the narrow regime
+    # where the native descent risks libm-vs-JVM divergence (see
+    # NARROW_BOX_UNITS); `native` kept for signature symmetry.
+    with_parent = joined.filter(F.col("way_common").isNotNull()).select(
+        "node_id", F.col("way_common").alias("cell")
     )
     calc = cell_of_bbox_udf(buffer, max_level)
-    return (
-        nodes.join(parent, "node_id", "left")
-        .select(
-            "node_id",
-            F.coalesce(
-                "way_common",
-                calc(
-                    "lon", "lat",
-                    (F.col("lon") + F.lit(1)).cast("long"),
-                    (F.col("lat") + F.lit(1)).cast("long"),
-                ),
-            ).alias("cell"),
-        )
+    orphans = joined.filter(F.col("way_common").isNull()).select(
+        "node_id",
+        calc(
+            "lon", "lat",
+            (F.col("lon") + F.lit(1)).cast("long"),
+            (F.col("lat") + F.lit(1)).cast("long"),
+        ).alias("cell"),
     )
+    return with_parent.unionByName(orphans)
 
 
 def relation_cells(rel_members: DataFrame, wcells: DataFrame,
@@ -134,12 +159,12 @@ def relation_cells(rel_members: DataFrame, wcells: DataFrame,
         .join(wcells, rel_members["ref"] == wcells["way_id"])
         .select("rel_id", "cell")
     )
-    base = (
+    base = with_common_finish(
         members_n.unionByName(members_w)
         .groupBy("rel_id")
-        .agg(*common_agg("cell"))
-        .select("rel_id", common_finish().alias("cell"))
-    )
+        .agg(*common_agg("cell")),
+        out="cell",
+    ).select("rel_id", "cell")
 
     all_rels = rel_members.select("rel_id").distinct()
     cur = all_rels.join(base, "rel_id", "left")
@@ -172,7 +197,7 @@ def relation_cells(rel_members: DataFrame, wcells: DataFrame,
         rounds = 0
 
     for _ in range(rounds):
-        child_cells = (
+        child_cells = with_common_finish(
             rel_rel.join(
                 cur.filter(F.col("cell").isNotNull()).select(
                     F.col("rel_id").alias("child_id"),
@@ -181,9 +206,9 @@ def relation_cells(rel_members: DataFrame, wcells: DataFrame,
                 "child_id",
             )
             .groupBy("rel_id")
-            .agg(*common_agg("child_cell"))
-            .select("rel_id", common_finish().alias("from_children"))
-        )
+            .agg(*common_agg("child_cell")),
+            out="from_children",
+        ).select("rel_id", "from_children")
         cur = cur.join(child_cells, "rel_id", "left").select(
             "rel_id",
             F.coalesce(

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import broadcast
 
-from ..functions.cells import cell_round, cell_tuple
+from ..functions.cells import cell_round, with_cell_tuple
 from ..functions.udfs import point_in_poly_udf
 
 
@@ -103,9 +103,4 @@ def raster_vector_join(geom_cells: DataFrame, zoom: int,
     scale path and is exercised in tests).  Fully native."""
     rounded = cell_round(cell_col, zoom)
     df = geom_cells.withColumn("tile_cell", rounded)
-    tup = cell_tuple("tile_cell")
-    return (
-        df.withColumn("tile_x", tup["x"])
-        .withColumn("tile_y", tup["y"])
-        .withColumn("tile_z", tup["z"])
-    )
+    return with_cell_tuple(df, "tile_cell", prefix="tile_")

@@ -1,0 +1,234 @@
+"""Tile grouping: partition the cell space into groups of roughly `target`
+elements — the engine's output-partitioning policy ("adaptive cell
+splitting" in BASELINE.json terms).
+
+Faithful port of the reference's counting-tree grouping
+(/root/reference/calcqts/qttree.go): build a counting quadtree over the
+aggregated (cell, count) histogram — a SMALL driver-side structure (the
+distributed part is the groupBy(cell).count() that produces the histogram) —
+then harvest subtrees whose totals fall in [target-50, target+50], widening
+the window by 50 per round (FindQtGroups, qttree.go:508-627; harvest rule
+findGroupIntFlat, qttree.go:369-439; subtree detach Remove,
+qttree.go:93-121).
+
+Group assignment back to rows is distributed: each cell joins its ancestor
+prefixes against the (small, broadcast) group table and keeps the deepest
+match — the Find semantics of qttree.go:192-215.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import broadcast
+
+
+class _Node:
+    __slots__ = ("qt", "count", "total", "parent", "children")
+
+    def __init__(self, qt, parent):
+        self.qt = qt
+        self.count = 0
+        self.total = 0
+        self.parent = parent
+        self.children = [0, 0, 0, 0]
+
+
+class CountingTree:
+    """In-memory counting quadtree over cell keys (qttree.go:20-91)."""
+
+    def __init__(self):
+        self.nodes = [_Node(0, 0)]
+
+    def add(self, qt: int, w: int):
+        if qt < 0:
+            return
+        i = 0
+        while True:
+            t = self.nodes[i]
+            t.total += w
+            if qt == t.qt:
+                t.count += w
+                return
+            d = t.qt & 31
+            nv = (qt >> (61 - 2 * d)) & 3
+            if t.children[nv] == 0:
+                cq = _round(qt, d + 1)
+                self.nodes.append(_Node(cq, i))
+                t.children[nv] = len(self.nodes) - 1
+            i = t.children[nv]
+
+    def remove(self, i: int):
+        # detach subtree i and subtract its total up the ancestor chain
+        # (removeQtt with clip=true, qttree.go:93-121)
+        if i == 0:
+            return
+        t = self.nodes[i]
+        v = t.total
+        ci = (t.qt >> (63 - 2 * (t.qt & 31))) & 3
+        j = t.parent
+        p = self.nodes[j]
+        p.children[ci] = 0
+        p.total -= v
+        while p.parent != j:
+            j = p.parent
+            p = self.nodes[j]
+            p.total -= v
+
+
+def _round(qt: int, level: int) -> int:
+    if (qt & 31) < level:
+        return qt
+    shift = 63 - 2 * level
+    return ((qt >> shift) << shift) + level
+
+
+def _find_groups_flat(tree: CountingTree, absmin: int, mn: int, mx: int):
+    """One harvest sweep (findGroupIntFlat, qttree.go:369-439): iterative
+    DFS; harvest nodes with count!=0 whose total fits, detaching them."""
+    nodes = tree.nodes
+
+    def next_item(j: int, fc: int) -> int:
+        while True:
+            t = nodes[j]
+            if fc < 4:
+                for b in t.children[fc:]:
+                    if b != 0:
+                        return b
+            if t.parent == j:
+                return 0
+            fc = ((t.qt >> (63 - 2 * (t.qt & 31))) & 3) + 1
+            j = t.parent
+
+    res = []
+    i = 0
+    while True:
+        t = nodes[i]
+        if t.total >= mn:
+            alls = True
+            for c in t.children:
+                if c != 0 and nodes[c].total > absmin:
+                    alls = False
+                    break
+            if t.count != 0 and (t.total == t.count or t.total <= mx or alls):
+                j = i
+                res.append(i)
+                i = next_item(i, 4)
+                tree.remove(j)
+            else:
+                i = next_item(i, 0)
+        else:
+            i = next_item(i, 4)
+        if i == 0:
+            return res
+
+
+def find_qt_groups(cells, counts, target: int = 8000, minimum: int = 1,
+                   strict: bool = False):
+    """Group the (cell, count) histogram (FindQtGroups, qttree.go:508-627).
+
+    Returns list of (group_cell, total).  `strict=True` mirrors the
+    reference's conservation panic when ungroupable mass remains spread over
+    multiple leaves; strict=False degrades to a root group instead.
+    """
+    tree = CountingTree()
+    for c, w in zip(np.asarray(cells, dtype=np.int64),
+                    np.asarray(counts, dtype=np.int64)):
+        tree.add(int(c), int(w))
+    orig_total = tree.nodes[0].total
+
+    mn, mx = target - 50, target + 50
+    found_zero = False
+    groups: list = []
+
+    while tree.nodes[0].total > 1000 and not found_zero:
+        cont = True
+        while cont and not found_zero:
+            r = _find_groups_flat(tree, minimum, mn, mx)
+            for ri in r:
+                if ri == 0:
+                    found_zero = True
+                    break
+            cont = len(r) > 0
+            for ri in r:
+                t = tree.nodes[ri]
+                groups.append((t.qt, t.total))
+        if found_zero:
+            break
+        mn = max(mn - 50, minimum)
+        mx += 50
+        if mx > 1_000_000:
+            break
+
+    t0 = tree.nodes[0]
+    if not found_zero and t0.total > 0:
+        active = sum(1 for n in tree.nodes if n.count > 0 and n.total > 0)
+        if active > 1 and strict:
+            raise ValueError(
+                f"tile grouping leftover: {t0.total} elements in {active} "
+                f"leaves (reference panics here, qttree.go:592-617)"
+            )
+        groups.append((0, t0.total))
+
+    got_total = sum(t for _, t in groups)
+    if got_total != orig_total:  # conservation check (qttree.go:622-624)
+        raise ValueError(f"conservation failed: {got_total} != {orig_total}")
+    return groups
+
+
+def tile_groups_df(spark, cell_counts: DataFrame, target: int = 8000,
+                   minimum: int = 1, cell_col: str = "cell",
+                   count_col: str = "n") -> DataFrame:
+    """Collect the (small) histogram, group on the driver, return the group
+    table as a DataFrame (group_cell, group_total)."""
+    pdf = cell_counts.select(cell_col, count_col).toPandas()
+    groups = find_qt_groups(pdf[cell_col].values, pdf[count_col].values,
+                            target, minimum)
+    return spark.createDataFrame(
+        [(int(g), int(t)) for g, t in groups], "group_cell long, group_total long"
+    )
+
+
+def assign_groups(df: DataFrame, groups: DataFrame,
+                  cell_col: str = "cell", max_depth: int = 18) -> DataFrame:
+    """Assign every row to its tile group: deepest harvested ancestor prefix
+    (Find semantics, qttree.go:192-215).
+
+    Distributed shape: explode each cell into its ancestor prefixes (one
+    array of <= max_depth+1 longs, no data columns duplicated), equi-join
+    against the broadcast group table, keep the deepest match.  With a
+    cell-partitioned table this is a broadcast join + window over ~19 rows
+    per key — no skew surface.
+    """
+    prefixes = F.array(
+        *[
+            F.expr(
+                f"case when ({cell_col} & 31) < {d} then null else "
+                f"(shiftleft(shiftright({cell_col}, {63 - 2 * d}),"
+                f" {63 - 2 * d}) + {d}) end"
+            )
+            for d in range(max_depth + 1)
+        ]
+    )
+    exploded = (
+        df.withColumn("_pref", F.array_distinct(
+            F.filter(prefixes, lambda x: x.isNotNull())))
+        .withColumn("_anc", F.explode("_pref"))
+        .drop("_pref")
+    )
+    joined = exploded.join(
+        broadcast(groups), exploded["_anc"] == groups["group_cell"], "inner"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(cell_col).orderBy(
+        (F.col("group_cell").bitwiseAND(F.lit(31))).desc()
+    )
+    best = (
+        joined.select(cell_col, "group_cell")
+        .distinct()
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    return df.join(best, cell_col, "left")

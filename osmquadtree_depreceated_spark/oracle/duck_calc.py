@@ -18,17 +18,20 @@ from __future__ import annotations
 def _find_quad_case(bf: float) -> str:
     """CASE expression mirroring findQuad's ordered branches on working
     coords (mx,my,hx,hy)."""
-    b = repr(bf)
+    b = f"cast('{bf!r}' as double)"
+    lo = f"cast('{(-1.0 - bf)!r}' as double)"
+    hi = f"cast('{(1.0 + bf)!r}' as double)"
+    nb = f"cast('{(-bf)!r}' as double)"
     return f"""case
-      when mx < (-1-{b}) or my < (-1-{b}) or hx > (1+{b}) or hy > (1+{b}) then -1
-      when hx <= 0 and my >= 0 then 0
-      when mx >= 0 and my >= 0 then 1
-      when hx <= 0 and hy <= 0 then 2
-      when mx >= 0 and hy <= 0 then 3
-      when (hx < {b} and abs(hx) < abs(mx)) and (my > -{b} and abs(hy) >= abs(my)) then 0
-      when (mx > -{b} and abs(hx) >= abs(mx)) and (my > -{b} and abs(hy) >= abs(my)) then 1
+      when mx < {lo} or my < {lo} or hx > {hi} or hy > {hi} then -1
+      when hx <= 0e0 and my >= 0e0 then 0
+      when mx >= 0e0 and my >= 0e0 then 1
+      when hx <= 0e0 and hy <= 0e0 then 2
+      when mx >= 0e0 and hy <= 0e0 then 3
+      when (hx < {b} and abs(hx) < abs(mx)) and (my > {nb} and abs(hy) >= abs(my)) then 0
+      when (mx > {nb} and abs(hx) >= abs(mx)) and (my > {nb} and abs(hy) >= abs(my)) then 1
       when (hx < {b} and abs(hx) < abs(mx)) and (hy < {b} and abs(hy) < abs(my)) then 2
-      when (mx > -{b} and abs(hx) >= abs(mx)) and (hy < {b} and abs(hy) < abs(my)) then 3
+      when (mx > {nb} and abs(hx) >= abs(mx)) and (hy < {b} and abs(hy) < abs(my)) then 3
       else -1 end"""
 
 
@@ -41,17 +44,17 @@ def calculate_cte_fragments(source_sql: str, key_cols: str,
     `{out_name}`.  Compose: `with {other_ctes}, {fragments} select ...`."""
     lines = [f"{prefix}0 as (\n  select {key_cols},"]
     lines.append(
-        """    (minx * 0.0000001 > maxx * 0.0000001
-      or miny * 0.0000001 > maxy * 0.0000001) as invalid,
+        """    (minx * 1e-7 > maxx * 1e-7
+      or miny * 1e-7 > maxy * 1e-7) as invalid,
     false as done,
     cast(0 as bigint) as res,
-    (minx * 0.0000001) / 180.0 as mx,
-    (case when maxx * 0.0000001 = minx * 0.0000001
-          then maxx * 0.0000001 + 0.0000001 else maxx * 0.0000001 end) / 180.0 as hx,
-    (ln(tan(pi() * (1.0 + (miny * 0.0000001) / 90.0) / 4.0)) * 90.0 / pi()) / 90.0 as my,
-    (ln(tan(pi() * (1.0 + (case when maxy * 0.0000001 = miny * 0.0000001
-           then maxy * 0.0000001 + 0.0000001 else maxy * 0.0000001 end) / 90.0) / 4.0))
-       * 90.0 / pi()) / 90.0 as hy
+    (minx * 1e-7) / 180e0 as mx,
+    (case when maxx * 1e-7 = minx * 1e-7
+          then maxx * 1e-7 + 1e-7 else maxx * 1e-7 end) / 180e0 as hx,
+    (ln(tan(pi() * (1e0 + (miny * 1e-7) / 90e0) / 4e0)) * 90e0 / pi()) / 90e0 as my,
+    (ln(tan(pi() * (1e0 + (case when maxy * 1e-7 = miny * 1e-7
+           then maxy * 1e-7 + 1e-7 else maxy * 1e-7 end) / 90e0) / 4e0))
+       * 90e0 / pi()) / 90e0 as hy
   from (%s)
 )""" % source_sql
     )
@@ -64,12 +67,12 @@ def calculate_cte_fragments(source_sql: str, key_cols: str,
     done or q < 0 as done,
     case when not done and q >= 0
          then res + (cast(q as bigint) << {shift}) + 1 else res end as res,
-    (mx + xs) * 2.0 as mx, (hx + xs) * 2.0 as hx,
-    (my + ys) * 2.0 as my, (hy + ys) * 2.0 as hy
+    (mx + xs) * 2e0 as mx, (hx + xs) * 2e0 as hx,
+    (my + ys) * 2e0 as my, (hy + ys) * 2e0 as hy
   from (
     select *,
-      case when q = 0 or q = 2 then 0.5 else -0.5 end as xs,
-      case when q = 2 or q = 3 then 0.5 else -0.5 end as ys
+      case when q = 0 or q = 2 then 0.5e0 else -0.5e0 end as xs,
+      case when q = 2 or q = 3 then 0.5e0 else -0.5e0 end as ys
     from (select *, {q} as q from {prefix}{cl})
   )
 )"""

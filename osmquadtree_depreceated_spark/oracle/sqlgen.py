@@ -80,9 +80,9 @@ def spread_bits_sql(d: Dialect, v: str) -> str:
 def merc_norm_sql(d: Dialect, lat_fixed: str) -> str:
     """merc(lat_degrees)/90 with the exact op order of qtcore.merc
     (ln(tan(pi*(1+lat/90)/4)) * 90/pi, then /90)."""
-    lat_deg = f"(({lat_fixed}) * 0.0000001)"
+    lat_deg = f"(({lat_fixed}) * 1e-7)"
     return (
-        f"(ln(tan(pi() * (1.0 + {lat_deg} / 90.0) / 4.0)) * 90.0 / pi() / 90.0)"
+        f"(ln(tan(pi() * (1e0 + {lat_deg} / 90e0) / 4e0)) * 90e0 / pi() / 90e0)"
     )
 
 
@@ -95,10 +95,10 @@ def point_cell_sql(d: Dialect, lon: str, lat: str, level: int = 18) -> str:
     Morton-interleave, left-align at bit 61 and add the depth.
     """
     n = 1 << level
-    x_norm = f"((({lon}) * 0.0000001 / 180.0 + 1.0) / 2.0)"
-    y_norm = f"(({merc_norm_sql(d, lat)} + 1.0) / 2.0)"
-    xt = f"least(greatest({d.big(f'floor({x_norm} * {n}.0)')}, 0), {n - 1})"
-    yb = f"least(greatest({d.big(f'floor({y_norm} * {n}.0)')}, 0), {n - 1})"
+    x_norm = f"((({lon}) * 1e-7 / 180e0 + 1e0) / 2e0)"
+    y_norm = f"(({merc_norm_sql(d, lat)} + 1e0) / 2e0)"
+    xt = f"least(greatest({d.big(f'floor({x_norm} * {n}e0)')}, 0), {n - 1})"
+    yb = f"least(greatest({d.big(f'floor({y_norm} * {n}e0)')}, 0), {n - 1})"
     ys = f"({n - 1} - {yb})"
     inter = d.bor(spread_bits_sql(d, xt), d.shl(spread_bits_sql(d, ys), 1))
     return d.bor(d.shl(inter, 63 - 2 * level), level)

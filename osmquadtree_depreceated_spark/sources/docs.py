@@ -85,8 +85,10 @@ def generate_docs(n_nodes=1500, n_ways=400, n_rels=100, seed=42,
     def _mk_doc(element_span, extra_rng):
         nonlocal seq
         spans = [element_span]
-        for _ in range(int(extra_rng.integers(0, 5))):
-            k = _TAG_KEYS[int(extra_rng.integers(0, len(_TAG_KEYS) - 2))]
+        n_tags = int(extra_rng.integers(0, 5))
+        key_pool = extra_rng.permutation(len(_TAG_KEYS) - 2)[:n_tags]
+        for ki in key_pool:
+            k = _TAG_KEYS[int(ki)]
             v = _TAG_VALS[int(extra_rng.integers(0, len(_TAG_VALS)))]
             spans.append(("tag", f"{k}={v}", ""))
         if extra_rng.random() < 0.7:
@@ -187,15 +189,22 @@ def parse_spans(docs: DataFrame) -> dict:
         "doc_id", F.explode("spans").alias("s")
     ).select("doc_id", "s.kind", "s.text")
 
+    # try_cast throughout: Catalyst may collapse the kind filter with the
+    # projection, evaluating a branch's casts on other kinds' rows — under
+    # ANSI mode a plain cast would throw there; try_cast is also the right
+    # robust-parser semantics (malformed span -> NULL, counted not crashed).
     toks = F.split(F.col("text"), " ", 2)
 
     nodes = (
         sp.filter(F.col("kind") == "node")
         .select(
             "doc_id",
-            F.split("text", " ").getItem(0).cast("long").alias("node_id"),
-            F.split("text", " ").getItem(1).cast("long").alias("lon"),
-            F.split("text", " ").getItem(2).cast("long").alias("lat"),
+            F.expr("try_cast(try_element_at(split(text, ' '), 1) as bigint)")
+            .alias("node_id"),
+            F.expr("try_cast(try_element_at(split(text, ' '), 2) as bigint)")
+            .alias("lon"),
+            F.expr("try_cast(try_element_at(split(text, ' '), 3) as bigint)")
+            .alias("lat"),
         )
     )
 
@@ -203,19 +212,23 @@ def parse_spans(docs: DataFrame) -> dict:
         sp.filter(F.col("kind") == "way")
         .select(
             "doc_id",
-            toks.getItem(0).cast("long").alias("way_id"),
-            F.transform(
-                F.split(toks.getItem(1), ","), lambda x: x.cast("long")
+            F.expr(
+                "try_cast(try_element_at(split(text, ' ', 2), 1) as bigint)"
+            ).alias("way_id"),
+            F.expr(
+                "transform(split(try_element_at(split(text, ' ', 2), 2), ','),"
+                " x -> try_cast(x as bigint))"
             ).alias("refs"),
         )
     )
 
-    member = F.split(F.col("m"), ":")
     rels = (
         sp.filter(F.col("kind") == "relation")
         .select(
             "doc_id",
-            toks.getItem(0).cast("long").alias("rel_id"),
+            F.expr(
+                "try_cast(try_element_at(split(text, ' ', 2), 1) as bigint)"
+            ).alias("rel_id"),
             F.when(F.length(toks.getItem(1)) > 0, F.split(toks.getItem(1), ";"))
             .otherwise(F.array().cast("array<string>"))
             .alias("raw_members"),
@@ -223,13 +236,11 @@ def parse_spans(docs: DataFrame) -> dict:
         .select(
             "doc_id",
             "rel_id",
-            F.transform(
-                F.col("raw_members"),
-                lambda m: F.struct(
-                    F.split(m, ":").getItem(0).alias("mtype"),
-                    F.split(m, ":").getItem(1).cast("long").alias("ref"),
-                    F.split(m, ":").getItem(2).alias("role"),
-                ),
+            F.expr(
+                "transform(raw_members, m -> struct("
+                " try_element_at(split(m, ':'), 1) as mtype,"
+                " try_cast(try_element_at(split(m, ':'), 2) as bigint) as ref,"
+                " try_element_at(split(m, ':'), 3) as role))"
             ).alias("members"),
         )
     )

@@ -135,3 +135,77 @@ def test_point_in_poly_udf(spark):
     got = df.select("i", pip("x", "y").alias("inside")).orderBy("i").toPandas()
     want = point_in_poly(np.array(poly_lon), np.array(poly_lat), tx, ty)
     np.testing.assert_array_equal(got["inside"].values, want)
+
+
+def test_native_descent_exact_merc_bit_identical_everywhere(spark):
+    # exact_merc=True: bit parity with the NumPy kernel on every box,
+    # degenerate/point boxes included, for multiple buffer/level configs
+    from osmquadtree_depreceated_spark.functions.cells import with_cell_of_bbox
+
+    n = 20000
+    minx = RNG.integers(-1800000000, 1790000000, n)
+    miny = RNG.integers(-850000000, 840000000, n)
+    w = RNG.integers(0, 10000000, n)
+    w[: n // 4] = RNG.integers(0, 3, n // 4)  # degenerate slice
+    h = RNG.integers(0, 10000000, n)
+    h[: n // 4] = RNG.integers(0, 3, n // 4)
+    maxx = minx + w
+    maxy = miny + h
+    pdf = pd.DataFrame(
+        {"id": np.arange(n), "minx": minx, "miny": miny, "maxx": maxx,
+         "maxy": maxy}
+    )
+    df = spark.createDataFrame(pdf)
+    for bf, lvl in [(0.05, 18), (0.025, 18), (0.0, 13)]:
+        got = (
+            with_cell_of_bbox(df, "minx", "miny", "maxx", "maxy", "cell",
+                              bf, lvl, exact_merc=True)
+            .select("id", "cell").orderBy("id").toPandas()
+        )
+        want = calculate_cells(minx, miny, maxx, maxy, bf, lvl)
+        np.testing.assert_array_equal(got["cell"].values, want)
+
+
+def test_native_descent_pure_jvm_near_exact(spark):
+    # exact_merc=False (zero Python): allowed to diverge only in deep
+    # digits on a <=1e-3 fraction of rows (JVM Math vs libm 1-ulp ln/tan)
+    from osmquadtree_depreceated_spark.functions.cells import with_cell_of_bbox
+
+    n = 20000
+    minx = RNG.integers(-1800000000, 1790000000, n)
+    miny = RNG.integers(-850000000, 840000000, n)
+    maxx = minx + RNG.integers(0, 10000000, n)
+    maxy = miny + RNG.integers(0, 10000000, n)
+    pdf = pd.DataFrame(
+        {"id": np.arange(n), "minx": minx, "miny": miny, "maxx": maxx,
+         "maxy": maxy}
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        with_cell_of_bbox(df, "minx", "miny", "maxx", "maxy", "cell",
+                          0.05, 18, exact_merc=False)
+        .select("id", "cell").orderBy("id").toPandas()
+    )
+    want = calculate_cells(minx, miny, maxx, maxy, 0.05, 18)
+    assert (got["cell"].values != want).mean() <= 1e-3
+
+
+def test_native_bbox_descent_stays_jvm(spark):
+    from osmquadtree_depreceated_spark.functions.cells import with_cell_of_bbox
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"minx": [1], "miny": [2], "maxx": [3], "maxy": [4]})
+    )
+    plan = (
+        with_cell_of_bbox(df, "minx", "miny", "maxx", "maxy",
+                          exact_merc=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
+    # exact_merc=True: the ONLY Python in the plan is the 2-value merc UDF
+    plan2 = (
+        with_cell_of_bbox(df, "minx", "miny", "maxx", "maxy",
+                          exact_merc=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan2.count("ArrowEvalPython") <= 1

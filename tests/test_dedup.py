@@ -1,0 +1,79 @@
+"""Dedup operator semantics beyond the gate: LSH recall vs brute baseline,
+minhash candidate recall on planted near-dups, simhash stability."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osmquadtree_depreceated_spark import gate
+from osmquadtree_depreceated_spark.operators.dedup import (
+    embedding_neardup_brute,
+    embedding_neardup_lsh,
+    exact_duplicates,
+    jaccard_verify,
+    minhash_candidates,
+    simhash64,
+)
+from osmquadtree_depreceated_spark.sources import tpch
+
+
+@pytest.fixture(scope="module")
+def prepped(spark, sf_dir):
+    tpch.load_base_tables(spark, sf_dir)
+    tpch.register_synth_views(spark)
+    return spark
+
+
+def test_exact_dedup_finds_planted_copies(prepped):
+    docs = prepped.table("docs_aug")
+    dups = exact_duplicates(docs).toPandas()
+    # every 7th doc has an exact copy at doc_id+2000000
+    n7 = prepped.table("documents").filter("doc_id % 7 = 0").count()
+    assert len(dups) == n7
+    assert (dups["n_copies"] == 2).all()
+
+
+def test_minhash_catches_exact_dups_and_jaccard_confirms(prepped):
+    docs = prepped.table("docs_aug")
+    cand = minhash_candidates(docs)
+    cand_pd = cand.toPandas()
+    # exact duplicates share every shingle -> every exact pair must appear
+    exact_pairs = set(
+        (int(r["min_doc_id"]), int(r["min_doc_id"]) + 2000000)
+        for _, r in exact_duplicates(docs).toPandas().iterrows()
+    )
+    got_pairs = set(zip(cand_pd["doc_a"], cand_pd["doc_b"]))
+    missing = exact_pairs - got_pairs
+    assert not missing, f"minhash missed exact dups: {list(missing)[:5]}"
+    # jaccard-verified subset: exact dups must score 1000
+    ver = jaccard_verify(docs, cand).toPandas()
+    vmap = {(a, b): j for a, b, j in
+            zip(ver["doc_a"], ver["doc_b"], ver["jaccard_x1000"])}
+    for p in exact_pairs:
+        assert vmap.get(p) == 1000
+
+
+def test_lsh_neardup_recall_vs_brute(prepped):
+    aug = prepped.sql(gate._EMB_AUG_SPARK_SQL)
+    brute = set(
+        map(tuple, embedding_neardup_brute(aug, 0.95).toPandas().values)
+    )
+    lsh = set(
+        map(tuple, embedding_neardup_lsh(aug, 0.95).toPandas().values)
+    )
+    assert lsh <= brute  # no false positives (exact check inside buckets)
+    assert len(brute) > 0
+    recall = len(lsh & brute) / len(brute)
+    assert recall >= 0.9, f"LSH recall {recall}"
+
+
+def test_simhash_deterministic_and_close_for_neardups(prepped):
+    docs = prepped.table("docs_aug")
+    s1 = simhash64(docs).orderBy("doc").toPandas()
+    s2 = simhash64(docs).orderBy("doc").toPandas()
+    assert (s1["simhash"].values == s2["simhash"].values).all()
+    sh = dict(zip(s1["doc"], s1["simhash"]))
+    # exact copies hash identically
+    base = prepped.table("documents").filter("doc_id % 7 = 0").toPandas()
+    for d in base["doc_id"][:20]:
+        assert sh[d] == sh[d + 2000000]
