@@ -771,6 +771,231 @@ def q23_embed_neardup_lsh(spark, sf_dir) -> DataFrame:
     return embedding_neardup_lsh(aug, 0.95)
 
 
+# -------------------------------------------- spatial extract / geometry
+
+
+def q24_knn_cells(spark, sf_dir) -> DataFrame:
+    """kNN via cell-neighborhood expansion — must equal the brute-force
+    result exactly, so it shares q08's oracle."""
+    _prep(spark, sf_dir)
+    from .operators.spatial_join import knn_cell_join
+
+    return knn_cell_join(KNN_POINTS, spark.table("nodes"), KNN_K, spark=spark)
+
+
+def q25_tile_groups(spark, sf_dir) -> DataFrame:
+    """Tile grouping (FindQtGroups port) over the FULL element cell set —
+    ways/relations carry shallow cells, giving the counting tree the
+    interior mass the harvest rule needs (qttree.go:369-439 requires
+    count != 0 at the harvested node) — plus distributed longest-prefix
+    assignment.  Driver-side algorithm — rows-only check (pytest holds the
+    conservation/prefix properties)."""
+    _prep(spark, sf_dir)
+    from .operators.tile_groups import assign_groups, tile_groups_df
+
+    wcells = way_cells(_way_bbox_df(spark), 0.05, 18)
+    ncells = node_cells(
+        spark.table("nodes"), spark.table("way_refs"), wcells, 0.05, 18
+    )
+    all_cells = ncells.select("cell").unionByName(wcells.select("cell"))
+    hist = all_cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    groups = tile_groups_df(spark, hist, target=800, minimum=1)
+    assigned = assign_groups(all_cells, groups, "cell")
+    return assigned.groupBy("group_cell").agg(
+        F.count(F.lit(1)).alias("n_elements")
+    )
+
+
+def q26_way_geometry(spark, sf_dir) -> DataFrame:
+    """Way geometry construction: ordered coords assembly, closed-ring
+    detection, polygon/linestring split, native bbox
+    (makegeometries.go:139-189)."""
+    _prep(spark, sf_dir)
+    from .operators.geometry import add_way_coords, make_way_geometries
+
+    wc = add_way_coords(spark.table("way_refs"), spark.table("nodes"))
+    g = make_way_geometries(wc, way_tags=None)
+    return g.select(
+        "way_id", "geom_type", "minx", "miny", "maxx", "maxy",
+        F.size("refs").alias("n_points"),
+    )
+
+
+def q26_oracle() -> str:
+    return (
+        tpch.synth_cte_prefix("nodes", "way_refs")
+        + """,
+pts as (
+  select w.way_id, w.pos, w.ref, n.lon, n.lat,
+         row_number() over (partition by w.way_id order by w.pos, w.ref)
+           as rn,
+         count(*) over (partition by w.way_id) as n_points
+  from way_refs w join nodes n on w.ref = n.node_id
+),
+ends as (
+  select way_id, n_points,
+         min(case when rn = 1 then ref end) as first_ref,
+         min(case when rn = n_points then ref end) as last_ref,
+         min(lon) as minx, min(lat) as miny,
+         max(lon) as maxx, max(lat) as maxy
+  from pts group by way_id, n_points
+)
+select way_id,
+       case when n_points >= 3 and first_ref = last_ref then 3 else 2 end
+         as geom_type,
+       minx, miny, maxx, maxy, cast(n_points as int) as n_points
+from ends"""
+    )
+
+
+def q27_multipolygon(spark, sf_dir) -> DataFrame:
+    """Multipolygon relation assembly (merge_rings/group_rings/finishRel
+    core) over the deterministic docs fixture — grouped-map op, rows-only
+    check (scalar-port parity lives in pytest)."""
+    _prep(spark, sf_dir)
+    from .operators.geometry import add_way_coords, assemble_multipolygons
+    from .sources.docs import docs_to_spark, generate_docs, parse_spans
+
+    rows, _ = generate_docs(n_nodes=400, n_ways=120, n_rels=30, seed=7)
+    parsed = parse_spans(docs_to_spark(spark, rows))
+    nodes = parsed["nodes"].select("node_id", "lon", "lat")
+    way_refs = parsed["ways"].select(
+        "way_id", F.posexplode("refs").alias("pos", "ref")
+    )
+    wc = add_way_coords(way_refs, nodes)
+    members = (
+        parsed["rels"]
+        .select("rel_id", F.explode("members").alias("m"))
+        .filter(F.col("m.mtype") == "w")
+        .select("rel_id", F.col("m.ref").alias("ref"),
+                F.col("m.role").alias("role"))
+    )
+    out = assemble_multipolygons(members, wc)
+    return out.select("rel_id", "geom_type", "n_rings", "n_groups",
+                      "minx", "miny", "maxx", "maxy")
+
+
+def q28_windowed_events(spark, sf_dir) -> DataFrame:
+    """Tumbling-window event rollup (the Structured-Streaming agg shape run
+    on the static table; the streaming variant is tested in pytest)."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start"),
+            "event_type", "n", "min_id", "max_id",
+        )
+    )
+
+
+def q28_oracle() -> str:
+    return """
+select cast(epoch(time_bucket(interval '1 hour', ts)) as bigint)
+         as win_start,
+       event_type, count(*) as n,
+       min(event_id) as min_id, max(event_id) as max_id
+from events group by 1, 2"""
+
+
+def q29_complete_ways(spark, sf_dir) -> DataFrame:
+    """Complete-ways spatial extract (FindObjsFilter + FilterObjs,
+    filter/filter.go:288-408): region nodes -> touching ways -> all their
+    nodes -> relations (5 rounds), members trimmed."""
+    _prep(spark, sf_dir)
+    from .operators.filters import filter_objs, find_objs_filter
+
+    nodes = spark.table("nodes")
+    way_refs = spark.table("way_refs")
+    rel_members = spark.table("rels").select(
+        "rel_id", F.lit("w").alias("mtype"), F.col("member_way").alias("ref")
+    )
+    region = (
+        (F.col("lon") >= -1000000) & (F.col("lon") <= 1000000)
+        & (F.col("lat") >= 509000000) & (F.col("lat") <= 511000000)
+    )
+    ids = find_objs_filter(nodes, way_refs, rel_members, region)
+    out = filter_objs(nodes, way_refs, rel_members, ids)
+    return (
+        out["nodes"].select(F.lit("n").alias("etype"),
+                            F.col("node_id").alias("id")).distinct()
+        .unionByName(
+            out["way_refs"].select(F.lit("w").alias("etype"),
+                                   F.col("way_id").alias("id")).distinct()
+        )
+        .unionByName(
+            out["rel_members"].select(F.lit("r").alias("etype"),
+                                      F.col("rel_id").alias("id")).distinct()
+        )
+    )
+
+
+def q29_oracle() -> str:
+    return (
+        tpch.synth_cte_prefix("nodes", "way_refs", "rels")
+        + """,
+region_nodes as (
+  select distinct node_id from nodes
+  where lon >= -1000000 and lon <= 1000000
+    and lat >= 509000000 and lat <= 511000000
+),
+kept_ways as (
+  select distinct way_id from way_refs w
+  where exists (select 1 from region_nodes r where r.node_id = w.ref)
+),
+all_way_nodes as (
+  select distinct ref as node_id from way_refs w
+  where exists (select 1 from kept_ways k where k.way_id = w.way_id)
+),
+kept_rels as (
+  select distinct rel_id from rels r
+  where exists (select 1 from kept_ways k where k.way_id = r.member_way)
+),
+kept_nodes as (
+  select node_id from region_nodes
+  union select node_id from all_way_nodes
+)
+select 'n' as etype, node_id as id from kept_nodes
+union all select 'w' as etype, way_id as id from kept_ways
+union all select 'r' as etype, rel_id as id from kept_rels"""
+    )
+
+
+def q30_media_features(spark, sf_dir) -> DataFrame:
+    """Multimodal plumbing: binary payload column + Arrow-batched decode /
+    feature extraction (decode stubbed deterministically — no media libs in
+    this container; the batch plumbing is real)."""
+    _prep(spark, sf_dir)
+    from .operators.media import extract_media_features, media_blobs
+
+    media = media_blobs(spark.table("documents"))
+    return extract_media_features(media)
+
+
+def q30_oracle() -> str:
+    feats = ",\n       ".join(
+        f"cast(ascii(substr(sha256(text), {3 + i}, 1)) as bigint) as f{i}"
+        for i in range(8)
+    )
+    return f"""
+select doc_id,
+       'm://' || md5(text) as media_ref,
+       cast(octet_length(unhex(sha256(text))) as int) as n_bytes,
+       cast(((ascii(substr(sha256(text), 1, 1)) % 16) + 1) * 64 as int)
+         as width,
+       cast(((ascii(substr(sha256(text), 2, 1)) % 16) + 1) * 64 as int)
+         as height,
+       {feats}
+from documents"""
+
+
 # --------------------------------------------------------------- registry
 
 GATE_QUERIES = {
@@ -797,6 +1022,13 @@ GATE_QUERIES = {
     "q21_embed_neardup": q21_embed_neardup,
     "q22_simhash": q22_simhash,
     "q23_embed_neardup_lsh": q23_embed_neardup_lsh,
+    "q24_knn_cells": q24_knn_cells,
+    "q25_tile_groups": q25_tile_groups,
+    "q26_way_geometry": q26_way_geometry,
+    "q27_multipolygon": q27_multipolygon,
+    "q28_windowed_events": q28_windowed_events,
+    "q29_complete_ways": q29_complete_ways,
+    "q30_media_features": q30_media_features,
 }
 
 GATE_ORACLES = {
@@ -824,6 +1056,13 @@ GATE_ORACLES = {
     # q22_simhash / q23_embed_neardup_lsh: intentionally no oracle —
     # rows-only driver check; semantics covered by pytest (LSH recall vs
     # brute, simhash determinism).
+    "q24_knn_cells": q08_oracle(),  # cell expansion must equal brute force
+    # q25_tile_groups / q27_multipolygon: driver-side algorithm / grouped-map
+    # assembly — rows-only here, properties + scalar-port parity in pytest.
+    "q26_way_geometry": q26_oracle(),
+    "q28_windowed_events": q28_oracle(),
+    "q29_complete_ways": q29_oracle(),
+    "q30_media_features": q30_oracle(),
 }
 
 

@@ -72,26 +72,31 @@ def way_bboxes(way_refs: DataFrame, nodes: DataFrame,
 
 def cells_of_bboxes(df: DataFrame, buffer: float, max_level: int,
                     out: str = "cell") -> DataFrame:
-    """Buffered-cell computation over (minx,miny,maxx,maxy): the unrolled
-    native descent seeded with libm-exact mercator values (exact_merc) —
-    bit-identical to the NumPy/scalar/DuckDB oracles on EVERY box, with all
-    heavy per-level arithmetic in Tungsten."""
-    return with_cell_of_bbox(
-        df, "minx", "miny", "maxx", "maxy", out, buffer, max_level,
-        exact_merc=True,
-    )
+    """Buffered-cell computation over (minx,miny,maxx,maxy) via the
+    Arrow-vectorized NumPy kernel — the measured-fastest exact path.
+
+    (An unrolled native-expression descent exists —
+    functions.cells.with_cell_of_bbox — and is bit-identical when seeded
+    with exact_merc, but its ~130 chained expressions exceed the 64KB
+    whole-stage-codegen limit and fall back to interpreted evaluation,
+    measured ~4x slower end-to-end than this kernel.  Kept as an option for
+    environments without Python workers.)"""
+    calc = cell_of_bbox_udf(buffer, max_level)
+    return df.withColumn(out, calc("minx", "miny", "maxx", "maxy"))
 
 
 def way_cells(way_bbox: DataFrame, buffer: float = 0.05,
-              max_level: int = 18, native: bool = True) -> DataFrame:
+              max_level: int = 18, native: bool = False) -> DataFrame:
     """Buffered cell per way bbox (resortwaynodes.go:615,:621-625).
 
-    native=True uses the hybrid native/Arrow dispatch (see cells_of_bboxes);
-    native=False forces the Arrow-vectorized NumPy kernel everywhere."""
+    Default: the Arrow NumPy kernel (fastest exact path, see
+    cells_of_bboxes).  native=True switches to the unrolled in-JVM descent
+    with exact_merc seeding — same results, slower (codegen size limit)."""
     if native:
-        return cells_of_bboxes(way_bbox, buffer, max_level).select(
-            "way_id", "cell"
-        )
+        return with_cell_of_bbox(
+            way_bbox, "minx", "miny", "maxx", "maxy", "cell", buffer,
+            max_level, exact_merc=True,
+        ).select("way_id", "cell")
     calc = cell_of_bbox_udf(buffer, max_level)
     return way_bbox.select(
         "way_id", calc("minx", "miny", "maxx", "maxy").alias("cell")
@@ -114,23 +119,22 @@ def node_cells(nodes: DataFrame, way_refs: DataFrame, wcells: DataFrame,
         out="way_common",
     ).select(F.col("ref").alias("node_id"), "way_common")
     joined = nodes.join(parent, "node_id", "left")
-    # Nodes WITH parent ways never touch Python.  Orphan nodes take the
-    # Arrow kernel: their 1-unit point box is always in the narrow regime
-    # where the native descent risks libm-vs-JVM divergence (see
-    # NARROW_BOX_UNITS); `native` kept for signature symmetry.
-    with_parent = joined.filter(F.col("way_common").isNotNull()).select(
-        "node_id", F.col("way_common").alias("cell")
-    )
+    # Single pass: the Arrow kernel computes the 1-unit point-box fallback
+    # for every node (cheap vectorized NumPy) and coalesce picks the parent
+    # fold when present — measured faster than splitting into two branches,
+    # which recomputes the parent join lineage twice.
     calc = cell_of_bbox_udf(buffer, max_level)
-    orphans = joined.filter(F.col("way_common").isNull()).select(
+    return joined.select(
         "node_id",
-        calc(
-            "lon", "lat",
-            (F.col("lon") + F.lit(1)).cast("long"),
-            (F.col("lat") + F.lit(1)).cast("long"),
+        F.coalesce(
+            "way_common",
+            calc(
+                "lon", "lat",
+                (F.col("lon") + F.lit(1)).cast("long"),
+                (F.col("lat") + F.lit(1)).cast("long"),
+            ),
         ).alias("cell"),
     )
-    return with_parent.unionByName(orphans)
 
 
 def relation_cells(rel_members: DataFrame, wcells: DataFrame,

@@ -1,0 +1,101 @@
+"""Reference SQL-surface compatibility (SURVEY.md §2.8).
+
+The reference's query layer (/root/reference/sqlselect/) is a strict subset
+of Spark SQL — SELECT / WHERE / ORDER BY / JOIN USING / UNION ALL / VALUES /
+CASE / IN / BETWEEN — so `spark.sql` covers it natively once the geometry
+tables are registered with the reference's virtual columns
+(packeddatastore.go:351-378): osm_id, z_order, way_area, quadtree, and tag
+keys resolved as columns.
+
+The quirks that differ from standard SQL are provided as explicit Column
+builders so fixture queries can reproduce reference behavior:
+  * LIKE is PREFIX-ONLY ('abc%' -> startswith; anything else false)
+    (sqlselect/functions.go:309-314)
+  * substr's from=0 is treated as 1 with count-1; out-of-range -> NULL
+    (functions.go:137-165)
+  * makeinteger/makefloat parse-or-0 (functions.go:95-123)
+  * UNION means UNION ALL (no dedup) (sql.y:112-119, tables.go:53-74)
+  * reference's strreplace is dead code (functions.go:44 bug) — we expose
+    the documented-correct replace and record the divergence (FIXTURES.md §3)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def ref_like(col, pattern: str) -> Column:
+    """Prefix-only LIKE: 'abc%' matches prefixes; any other pattern shape is
+    constant false (functions.go:309-314)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if pattern.endswith("%") and "%" not in pattern[:-1] and "_" not in pattern:
+        return c.startswith(pattern[:-1])
+    return F.lit(False)
+
+
+def ref_substr(col, frm: int, count: int | None = None) -> Column:
+    """Reference substr quirks (functions.go:137-165): 1-based; from=0 acts
+    as from=1 with count-1; out-of-range -> NULL."""
+    c = F.col(col) if isinstance(col, str) else col
+    if frm == 0:
+        frm, count = 1, (count - 1 if count is not None else None)
+    base = (
+        F.substring(c, frm, count) if count is not None
+        else c.substr(F.lit(frm), F.length(c))
+    )
+    in_range = (F.length(c) >= F.lit(max(frm, 1)))
+    if count is not None:
+        in_range = in_range & (F.lit(count) >= 0)
+    return F.when(in_range, base).otherwise(F.lit(None))
+
+
+def make_integer(col: str) -> Column:
+    """parse-or-0 (functions.go:95-108).  Takes a column name / SQL
+    fragment."""
+    return F.expr(f"coalesce(try_cast({col} as bigint), 0)")
+
+
+def make_float(col: str) -> Column:
+    return F.expr(f"coalesce(try_cast({col} as double), 0.0)")
+
+
+def numchar(col, ch: str) -> Column:
+    """Count occurrences of `ch` (functions.go:52-67)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        (F.length(c) - F.length(F.replace(c, F.lit(ch), F.lit(""))))
+        / F.lit(len(ch))
+    ).cast("long")
+
+
+def maxwidth(col, sep: str = "\n") -> Column:
+    """Longest split-segment length (functions.go:69-93)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_max(F.transform(F.split(c, sep), lambda s: F.length(s)))
+
+
+def register_geometry_views(spark, points: DataFrame | None = None,
+                            lines: DataFrame | None = None,
+                            polygons: DataFrame | None = None,
+                            tag_keys=("highway", "name", "building",
+                                      "natural", "boundary")) -> None:
+    """Register planet_osm_point / _line / _polygon temp views with the
+    reference's virtual-column surface: osm_id, z_order, way_area, quadtree,
+    plus tag keys as columns (tags map -> element_at)."""
+    for name, df in (("planet_osm_point", points), ("planet_osm_line", lines),
+                     ("planet_osm_polygon", polygons)):
+        if df is None:
+            continue
+        cols = [
+            F.col("way_id").alias("osm_id") if "way_id" in df.columns
+            else F.col("node_id").alias("osm_id"),
+        ]
+        if "z_order" in df.columns:
+            cols.append(F.col("z_order"))
+        if "way_area" in df.columns:
+            cols.append(F.col("way_area"))
+        if "cell" in df.columns:
+            cols.append(F.col("cell").alias("quadtree"))
+        for k in tag_keys:
+            cols.append(F.expr(f"element_at(tags, '{k}')").alias(k))
+        df.select(*cols).createOrReplaceTempView(name)

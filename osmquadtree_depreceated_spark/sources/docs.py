@@ -189,11 +189,11 @@ def parse_spans(docs: DataFrame) -> dict:
         "doc_id", F.explode("spans").alias("s")
     ).select("doc_id", "s.kind", "s.text")
 
-    # try_cast throughout: Catalyst may collapse the kind filter with the
-    # projection, evaluating a branch's casts on other kinds' rows — under
-    # ANSI mode a plain cast would throw there; try_cast is also the right
-    # robust-parser semantics (malformed span -> NULL, counted not crashed).
-    toks = F.split(F.col("text"), " ", 2)
+    # try_cast / try_element_at throughout: Catalyst may collapse the kind
+    # filter with the projection, evaluating a branch's casts on other
+    # kinds' rows — under ANSI mode a plain cast/index would throw there;
+    # try_* is also the right robust-parser semantics (malformed span ->
+    # NULL, counted not crashed).
 
     nodes = (
         sp.filter(F.col("kind") == "node")
@@ -229,9 +229,11 @@ def parse_spans(docs: DataFrame) -> dict:
             F.expr(
                 "try_cast(try_element_at(split(text, ' ', 2), 1) as bigint)"
             ).alias("rel_id"),
-            F.when(F.length(toks.getItem(1)) > 0, F.split(toks.getItem(1), ";"))
-            .otherwise(F.array().cast("array<string>"))
-            .alias("raw_members"),
+            F.expr(
+                "case when length(try_element_at(split(text, ' ', 2), 2)) > 0"
+                " then split(try_element_at(split(text, ' ', 2), 2), ';')"
+                " else cast(array() as array<string>) end"
+            ).alias("raw_members"),
         )
         .select(
             "doc_id",

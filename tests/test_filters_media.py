@@ -1,0 +1,165 @@
+"""Complete-ways filter, media plumbing, GeoJSON sink, SQL compat quirks."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmquadtree_depreceated_spark.operators.filters import (
+    filter_objs,
+    find_objs_filter,
+)
+from osmquadtree_depreceated_spark.operators.media import (
+    N_FEATURES,
+    extract_media_features,
+    media_blobs,
+)
+from osmquadtree_depreceated_spark.plans.sqlcompat import (
+    make_integer,
+    numchar,
+    ref_like,
+    ref_substr,
+    register_geometry_views,
+)
+
+
+@pytest.fixture(scope="module")
+def mini_world(spark):
+    nodes = spark.createDataFrame(
+        [
+            (1, 0, 510000000),        # in region
+            (2, 5_000_000, 505000000),  # out
+            (3, 500000, 510500000),   # in region
+            (4, 9_000_000, 519000000),  # out, but node of kept way 10
+            (5, 8_000_000, 518000000),  # out, unrelated
+        ],
+        "node_id long, lon long, lat long",
+    )
+    way_refs = spark.createDataFrame(
+        [
+            (10, 1, 1), (10, 2, 4),     # touches region node 1 -> kept
+            (11, 1, 2), (11, 2, 5),     # no region node -> dropped
+        ],
+        "way_id long, pos long, ref long",
+    )
+    rel_members = spark.createDataFrame(
+        [
+            (100, "w", 10),   # kept via way
+            (101, "w", 11),   # dropped
+            (102, "n", 4),    # node 4 is an EXTRA node -> must NOT keep rel
+            (103, "r", 100),  # kept via rel->rel closure
+            (104, "r", 101),  # child never kept
+            (105, "n", 3),    # region node -> kept
+        ],
+        "rel_id long, mtype string, ref long",
+    )
+    return nodes, way_refs, rel_members
+
+
+class TestCompleteWays:
+    def test_id_discovery_semantics(self, spark, mini_world):
+        nodes, way_refs, rel_members = mini_world
+        region = (
+            (F.col("lon") >= -1000000) & (F.col("lon") <= 1000000)
+            & (F.col("lat") >= 509000000) & (F.col("lat") <= 511000000)
+        )
+        ids = find_objs_filter(nodes, way_refs, rel_members, region)
+        assert {r[0] for r in ids["nodes"].collect()} == {1, 3, 4}
+        assert {r[0] for r in ids["ways"].collect()} == {10}
+        # 102 excluded: extra way-nodes don't count for relation membership
+        # (filter.go merges them only after the closure rounds)
+        assert {r[0] for r in ids["rels"].collect()} == {100, 103, 105}
+
+    def test_apply_trims_members(self, spark, mini_world):
+        nodes, way_refs, rel_members = mini_world
+        region = (
+            (F.col("lon") >= -1000000) & (F.col("lon") <= 1000000)
+            & (F.col("lat") >= 509000000) & (F.col("lat") <= 511000000)
+        )
+        ids = find_objs_filter(nodes, way_refs, rel_members, region)
+        out = filter_objs(nodes, way_refs, rel_members, ids)
+        assert out["nodes"].count() == 3
+        assert {r["way_id"] for r in out["way_refs"].collect()} == {10}
+        kept = [(r["rel_id"], r["mtype"], r["ref"])
+                for r in out["rel_members"].collect()]
+        assert (100, "w", 10) in kept
+        assert (103, "r", 100) in kept
+        assert all(rid != 101 for rid, _, _ in kept)
+
+
+class TestMedia:
+    def test_blob_plumbing_and_stub_features(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        media = media_blobs(docs)
+        feats = extract_media_features(media)
+        rows = feats.limit(50).collect()
+        assert rows
+        for r in rows:
+            assert r["n_bytes"] == 32  # sha256 payload
+            assert 64 <= r["width"] <= 1024 and r["width"] % 64 == 0
+            assert all(r[f"f{i}"] is not None for i in range(N_FEATURES))
+        # deterministic across runs
+        a = feats.orderBy("doc_id").limit(20).collect()
+        b = extract_media_features(media).orderBy("doc_id").limit(20).collect()
+        assert a == b
+
+
+class TestGeoJson:
+    def test_feature_and_collection(self, spark):
+        from osmquadtree_depreceated_spark.functions.geojson import (
+            feature_collection,
+            feature_json,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, 3, [0, 10_000_000, 10_000_000, 0, 0],
+                 [0, 0, 10_000_000, 10_000_000, 0], {"building": "yes"}),
+                (2, 2, [0, 5_000_000], [0, 5_000_000], {"highway": "path"}),
+            ],
+            "way_id long, geom_type int, lons array<long>, lats array<long>,"
+            " tags map<string,string>",
+        )
+        feats = feature_json(df)
+        rows = {r["way_id"]: json.loads(r["feature"]) for r in feats.collect()}
+        assert rows[1]["geometry"]["type"] == "Polygon"
+        assert rows[1]["geometry"]["coordinates"][0][1] == [1.0, 0.0]
+        assert rows[2]["geometry"]["type"] == "LineString"
+        assert rows[1]["properties"]["building"] == "yes"
+        fc = json.loads(
+            feature_collection(feats).collect()[0]["feature_collection"]
+        )
+        assert fc["type"] == "FeatureCollection"
+        assert len(fc["features"]) == 2
+
+
+class TestSqlCompat:
+    def test_reference_quirks(self, spark):
+        df = spark.createDataFrame(
+            [("abcdef", "12x"), ("xyz", "34")], "s string, v string"
+        )
+        got = df.select(
+            ref_like("s", "abc%").alias("lk"),
+            ref_like("s", "%bc%").alias("lk_nonprefix"),
+            ref_substr("s", 0, 3).alias("sub0"),
+            make_integer("v").alias("mi"),
+            numchar("s", "c").alias("nc"),
+        ).collect()
+        assert got[0]["lk"] is True and got[1]["lk"] is False
+        assert got[0]["lk_nonprefix"] is False  # non-prefix pattern -> false
+        assert got[0]["sub0"] == "ab"  # from=0 quirk: from 1, count-1
+        assert got[0]["mi"] == 0 and got[1]["mi"] == 34  # parse-or-0
+        assert got[0]["nc"] == 1
+
+    def test_geometry_views(self, spark):
+        lines = spark.createDataFrame(
+            [(7, 12, 0.0, 123456789, {"highway": "primary", "name": "x"})],
+            "way_id long, z_order long, way_area double, cell long,"
+            " tags map<string,string>",
+        )
+        register_geometry_views(spark, lines=lines)
+        row = spark.sql(
+            "select osm_id, z_order, quadtree, highway from planet_osm_line "
+            "where highway = 'primary'"
+        ).collect()[0]
+        assert row["osm_id"] == 7 and row["quadtree"] == 123456789
