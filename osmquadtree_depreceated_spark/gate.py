@@ -996,6 +996,101 @@ select doc_id,
 from documents"""
 
 
+def q31_node_parent(spark, sf_dir) -> DataFrame:
+    """Node inherits a tag from its max-z-order parent way
+    (AddNodeParent / FindParentHighway, nodeparent.go:13-26,
+    zorder.go:242-279).  Way attributes synthesized deterministically."""
+    _prep(spark, sf_dir)
+    from .operators.attrs import add_node_parent
+
+    way_attrs = spark.sql(_WAY_ATTRS_SQL)
+    out = add_node_parent(
+        spark.table("nodes").select("node_id"),
+        spark.table("way_refs"), way_attrs,
+    )
+    return out.filter(F.col("parent_highway").isNotNull())
+
+
+_WAY_ATTRS_SQL = """
+select distinct way_id,
+  (way_id * 7) % 10 as z_order,
+  concat('hw', cast(way_id % 5 as string)) as value
+from way_refs where way_id % 3 = 0
+"""
+
+
+def q31_oracle() -> str:
+    return (
+        tpch.synth_cte_prefix("way_refs")
+        + f""",
+wa as ({_WAY_ATTRS_SQL.replace("cast(way_id % 5 as string)",
+                               "cast(way_id % 5 as varchar)")}),
+ranked as (
+  select w.ref as node_id, a.value,
+         row_number() over (partition by w.ref
+                            order by a.z_order desc, a.value desc) as rn
+  from way_refs w join wa a using (way_id)
+)
+select node_id, value as parent_highway from ranked where rn = 1"""
+    )
+
+
+def q32_relation_range(spark, sf_dir) -> DataFrame:
+    """Way inherits aggregated parent-relation tags (AddRelationRange,
+    relationrange.go:24-77): admin-level min/max + sorted route list."""
+    _prep(spark, sf_dir)
+    from .operators.attrs import add_relation_range
+
+    members = spark.table("rels").select(
+        "rel_id", F.col("member_way").alias("ref")
+    )
+    rel_tags = spark.sql(_REL_TAGS_SQL)
+    ways = spark.table("way_refs").select("way_id").distinct()
+    out = add_relation_range(ways, members, rel_tags)
+    return out.select(
+        "way_id", "min_admin", "max_admin",
+        F.array_join("route_refs", ",").alias("routes"),
+    ).filter(F.col("min_admin").isNotNull() | (F.col("routes") != ""))
+
+
+_REL_TAGS_SQL = """
+select rel_id,
+  case when rel_id % 4 = 0 then rel_id % 12 end as admin_level,
+  case when rel_id % 3 = 0
+       then concat('R', cast(rel_id % 50 as string)) end as route_ref
+from (select distinct rel_id from rels) r
+"""
+
+
+def q32_oracle() -> str:
+    # restrict to ways that exist (orders with no lineitems are relation
+    # members but not ways — the engine inherits onto the ways table)
+    return (
+        tpch.synth_cte_prefix("rels", "way_refs")
+        + f""",
+w as (select distinct way_id from way_refs),
+rt as ({_REL_TAGS_SQL.replace("cast(rel_id % 50 as string)",
+                              "cast(rel_id % 50 as varchar)")}),
+j as (
+  select m.member_way as way_id, t.admin_level, t.route_ref
+  from rels m join rt t using (rel_id)
+),
+agg as (
+  select way_id,
+         min(admin_level) as min_admin,
+         max(admin_level) as max_admin,
+         array_to_string(
+           list_sort(list_distinct(
+             list(route_ref) filter (route_ref is not null))), ',')
+           as routes
+  from j group by way_id
+)
+select way_id, min_admin, max_admin, coalesce(routes, '') as routes
+from agg join w using (way_id)
+where min_admin is not null or coalesce(routes, '') <> ''"""
+    )
+
+
 # --------------------------------------------------------------- registry
 
 GATE_QUERIES = {
@@ -1029,6 +1124,8 @@ GATE_QUERIES = {
     "q28_windowed_events": q28_windowed_events,
     "q29_complete_ways": q29_complete_ways,
     "q30_media_features": q30_media_features,
+    "q31_node_parent": q31_node_parent,
+    "q32_relation_range": q32_relation_range,
 }
 
 GATE_ORACLES = {
@@ -1063,6 +1160,8 @@ GATE_ORACLES = {
     "q28_windowed_events": q28_oracle(),
     "q29_complete_ways": q29_oracle(),
     "q30_media_features": q30_oracle(),
+    "q31_node_parent": q31_oracle(),
+    "q32_relation_range": q32_oracle(),
 }
 
 
