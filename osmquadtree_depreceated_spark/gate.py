@@ -68,7 +68,9 @@ _prepped: dict = {}
 
 
 def _prep(spark: SparkSession, sf_dir: str) -> None:
-    key = (id(spark), sf_dir)
+    # keyed on the JVM application id, not id(spark): Python session proxies
+    # can be GC'd and a new one allocated at the same address
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _prepped:
         tpch.load_base_tables(spark, sf_dir)
         tpch.register_synth_views(spark)
@@ -753,22 +755,82 @@ where list_cosine_similarity(a.embedding, b.embedding) >= 0.95"""
 
 
 def q22_simhash(spark, sf_dir) -> DataFrame:
-    """60-bit SimHash per document (native aggregates; no DuckDB oracle —
-    conv() has no DuckDB equivalent, driver records rows-only)."""
+    """60-bit SimHash per document (native aggregates).  The oracle decodes
+    the 15-hex-char token hash arithmetically (instr-based digit lookup),
+    which both engines evaluate in exact int64 — so the full per-bit
+    majority vote is value-verified."""
     _prep(spark, sf_dir)
     from .operators.dedup import simhash64
 
     return simhash64(spark.table("docs_aug"))
 
 
+def q22_oracle(bits: int = 60) -> str:
+    hexpr = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5(t), {i + 1}, 1)) - 1) "
+        f"* {16 ** (14 - i)}"
+        for i in range(15)
+    )
+    votes = ",\n         ".join(
+        f"sum(case when (h >> {i}) & 1 = 1 then 1 else -1 end) as v{i}"
+        for i in range(bits)
+    )
+    fold = " + ".join(
+        f"(case when v{i} > 0 then {1 << i} else 0 end)" for i in range(bits)
+    )
+    return (
+        tpch.synth_cte_prefix("docs_aug") + f""",
+tok as (select doc_id as doc, unnest(string_split(text, ' ')) as t
+        from docs_aug),
+hh as (select doc, cast({hexpr} as bigint) as h from tok),
+v as (select doc,
+         {votes}
+      from hh group by doc)
+select doc, cast({fold} as bigint) as simhash from v"""
+    )
+
+
 def q23_embed_neardup_lsh(spark, sf_dir) -> DataFrame:
-    """LSH sign-bucket near-dup scale path (recall vs brute asserted in
-    tests; rows-only check here)."""
+    """LSH sign-bucket near-dup scale path — the AXIS-ALIGNED deterministic
+    variant, fully oracle-verified (bucket keys are per-coordinate sign
+    tests, reproducible in SQL; within-bucket exact cosine >= tau).  The
+    Gaussian-plane variant's recall vs brute force is asserted in pytest."""
     _prep(spark, sf_dir)
-    from .operators.dedup import embedding_neardup_lsh
+    from .operators.dedup import embedding_neardup_lsh_axis
 
     aug = spark.sql(_EMB_AUG_SPARK_SQL)
-    return embedding_neardup_lsh(aug, 0.95)
+    return embedding_neardup_lsh_axis(aug, 0.95)
+
+
+def q23_oracle(tau: float = 0.95, n_planes: int = 8, n_tables: int = 4,
+               dim: int = 64, seed: int = 42) -> str:
+    from .operators.dedup import axis_plane_indices
+
+    idx = axis_plane_indices(n_planes, n_tables, dim, seed)
+    branches = []
+    for t in range(n_tables):
+        key = " + ".join(
+            f"(case when embedding[{int(idx[t][p]) + 1}] > 0 "
+            f"then {1 << p} else 0 end)"
+            for p in range(n_planes)
+        )
+        branches.append(
+            f"select vec_id as doc, embedding, "
+            f"cast({t * 1000} + {key} as bigint) as bucket from emb_aug"
+        )
+    buckets = "\n  union all\n  ".join(branches)
+    return f"""
+with {_EMB_AUG_DUCK},
+bk as (
+  {buckets}
+),
+pr as (
+  select x.doc as doc_a, y.doc as doc_b,
+         x.embedding as ea, y.embedding as eb
+  from bk x join bk y on x.bucket = y.bucket and x.doc < y.doc
+)
+select distinct doc_a, doc_b from pr
+where list_cosine_similarity(ea, eb) >= {tau}"""
 
 
 # -------------------------------------------- spatial extract / geometry
@@ -1150,9 +1212,8 @@ GATE_ORACLES = {
     "q19_minhash_bands": q19_oracle(),
     "q20_jaccard_verify": q20_oracle(),
     "q21_embed_neardup": q21_oracle(),
-    # q22_simhash / q23_embed_neardup_lsh: intentionally no oracle —
-    # rows-only driver check; semantics covered by pytest (LSH recall vs
-    # brute, simhash determinism).
+    "q22_simhash": q22_oracle(),
+    "q23_embed_neardup_lsh": q23_oracle(),
     "q24_knn_cells": q08_oracle(),  # cell expansion must equal brute force
     # q25_tile_groups / q27_multipolygon: driver-side algorithm / grouped-map
     # assembly — rows-only here, properties + scalar-port parity in pytest.

@@ -48,7 +48,18 @@ def cosine_topk(queries: DataFrame, candidates: DataFrame, k: int,
             kk = min(k + 1, n)  # +1 headroom for self-match removal
             for j, qid in enumerate(qids):
                 col = sims[:, j]
-                idx = np.argpartition(-col, kk - 1)[:kk]
+                # tie-break INSIDE the combiner too: argpartition keeps an
+                # arbitrary subset when >kk candidates tie exactly at the
+                # boundary cosine (realistic with scaled-duplicate vectors),
+                # which could drop a lower-id neighbor before the global
+                # window applies its (cos desc, id asc) rule.  Widen the cut
+                # to every row tied with the kk-th value, then lexsort just
+                # that (normally tiny) head — O(n) stays the common case.
+                part = np.argpartition(-col, kk - 1)
+                boundary = col[part[kk - 1]]
+                head = np.nonzero(col >= boundary)[0]
+                hsel = head[np.lexsort((ids[head], -col[head]))[:kk]]
+                idx = hsel
                 yield pd.DataFrame(
                     {
                         "query_id": qid,

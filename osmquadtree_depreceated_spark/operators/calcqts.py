@@ -173,8 +173,17 @@ def relation_cells(rel_members: DataFrame, wcells: DataFrame,
     all_rels = rel_members.select("rel_id").distinct()
     cur = all_rels.join(base, "rel_id", "left")
 
-    # empty members -> 0 handled by caller supplying rows with mtype='none';
-    # relations absent from rel_members entirely are out of scope here.
+    # Empty-member relations: the caller encodes them as mtype='none' rows
+    # (one per relation); the reference sets their cell to 0 outright
+    # (resortwaynodes.go writeRelQts: mm.Len()==0 -> Set(ei, 0)).  A 'none'
+    # row matches no n/w/r member filter, so without this rule such
+    # relations would fall through to -1 (missing) instead of 0.
+    empty_rels = (
+        rel_members.filter(F.col("mtype") == "none")
+        .select("rel_id")
+        .distinct()
+        .withColumn("_empty", F.lit(True))
+    )
     self_circ = (
         rel_members.filter(
             (F.col("mtype") == "r") & (F.col("ref") == F.col("rel_id"))
@@ -183,12 +192,17 @@ def relation_cells(rel_members: DataFrame, wcells: DataFrame,
         .distinct()
         .withColumn("_circ", F.lit(True))
     )
-    cur = cur.join(self_circ, "rel_id", "left").select(
-        "rel_id",
-        F.when(F.col("cell").isNotNull(), F.col("cell"))
-        .when(F.col("_circ"), F.lit(0).cast("long"))
-        .otherwise(F.lit(None).cast("long"))
-        .alias("cell"),
+    cur = (
+        cur.join(empty_rels, "rel_id", "left")
+        .join(self_circ, "rel_id", "left")
+        .select(
+            "rel_id",
+            F.when(F.col("_empty"), F.lit(0).cast("long"))
+            .when(F.col("cell").isNotNull(), F.col("cell"))
+            .when(F.col("_circ"), F.lit(0).cast("long"))
+            .otherwise(F.lit(None).cast("long"))
+            .alias("cell"),
+        )
     )
 
     rel_rel = rel_members.filter(F.col("mtype") == "r").select(

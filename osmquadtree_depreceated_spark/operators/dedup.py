@@ -14,6 +14,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.text import minhash_signature, word_shingles
@@ -154,6 +155,85 @@ def embedding_neardup_brute(embeddings: DataFrame, tau: float,
             )
 
     return embeddings.mapInPandas(_pairs, "doc_a long, doc_b long").distinct()
+
+
+def axis_plane_indices(n_planes: int = 8, n_tables: int = 4,
+                       dim: int = 64, seed: int = 42):
+    """Deterministic coordinate indices for the axis-aligned sign-LSH
+    variant: per table, `n_planes` distinct dimensions sampled without
+    replacement.  Shared by the Spark operator and the DuckDB oracle (both
+    embed the same literal indices), so bucketing is reproducible across
+    engines with zero floating-point summation."""
+    rng = np.random.default_rng(seed)
+    return [rng.permutation(dim)[:n_planes].tolist() for _ in range(n_tables)]
+
+
+def embedding_neardup_lsh_axis(embeddings: DataFrame, tau: float,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               n_planes: int = 8, n_tables: int = 4,
+                               dim: int = 64, seed: int = 42) -> DataFrame:
+    """Sign-bucket LSH with AXIS-ALIGNED hyperplanes (h_p(x) = sign(x[j_p]),
+    j_p deterministic per table/plane): the oracle-verifiable variant of
+    embedding_neardup_lsh.  Bucket keys involve only per-coordinate sign
+    tests — no dot products — so they are bit-reproducible in any engine;
+    scaled duplicates keep identical signs, guaranteeing recall 1.0 on them.
+
+    Bucketing is FULLY NATIVE (a case-when sum per table, unioned); only the
+    within-bucket exact cosine runs as an Arrow-vectorized pair UDF over the
+    bucket equi-join's survivors.  One shuffle per table on the bucket key —
+    never all-pairs.  The Gaussian-plane variant (embedding_neardup_lsh)
+    remains the default scale path for adversarial inputs where axis signs
+    correlate; its recall is asserted against brute force in pytest.
+    """
+    idx = axis_plane_indices(n_planes, n_tables, dim, seed)
+    branches = []
+    for t in range(n_tables):
+        key = " + ".join(
+            f"(case when element_at({vec_col}, {int(idx[t][p]) + 1}) > 0 "
+            f"then {1 << p} else 0 end)"
+            for p in range(n_planes)
+        )
+        branches.append(
+            embeddings.select(
+                F.col(id_col).alias("doc"),
+                F.col(vec_col).alias("vec"),
+                F.expr(f"cast({t * 1000} + {key} as bigint)").alias("bucket"),
+            )
+        )
+    bucketed = branches[0]
+    for b in branches[1:]:
+        bucketed = bucketed.unionByName(b)
+
+    a = bucketed.alias("a")
+    b_ = bucketed.alias("b")
+    pairs = a.join(
+        b_,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc") < F.col("b.doc")),
+    ).select(
+        F.col("a.doc").alias("doc_a"),
+        F.col("b.doc").alias("doc_b"),
+        F.col("a.vec").alias("va"),
+        F.col("b.vec").alias("vb"),
+    )
+
+    @F.pandas_udf("double")
+    def _pair_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        A = np.array(va.tolist(), dtype=np.float64)
+        B = np.array(vb.tolist(), dtype=np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        na = np.linalg.norm(A, axis=1)
+        nb = np.linalg.norm(B, axis=1)
+        den = na * nb
+        den[den == 0] = 1.0
+        return pd.Series(num / den)
+
+    return (
+        pairs.filter(_pair_cos("va", "vb") >= tau)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
 
 
 def embedding_neardup_lsh(embeddings: DataFrame, tau: float,

@@ -41,14 +41,6 @@ def _decode_stub(sha_hex: str, blob: bytes):
     return width, height, feats
 
 
-try:  # pragma: no cover - not present in this container
-    from PIL import Image  # noqa: F401
-
-    _HAVE_PIL = True
-except Exception:
-    _HAVE_PIL = False
-
-
 def extract_media_features(media: DataFrame) -> DataFrame:
     """Arrow-batched decode/feature-extract over the binary column.
 

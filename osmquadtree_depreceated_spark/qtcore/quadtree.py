@@ -304,12 +304,17 @@ def common_reduce(min_key, max_key, min_depth):
     lexicographic digit order (paths are left-aligned), so the (min, max)
     pair realizes the shortest shared prefix; depth is clamped by the global
     minimum (SURVEY.md §7.4).  This is the finishing expression — the same
-    bit math ships as a native Spark Column in functions/cells.py."""
+    bit math ships as a native Spark Column in functions/cells.py.
+
+    Null-identity guard: negative keys (Null cells that a call site failed
+    to pre-filter) propagate NULL_QT instead of producing an out-of-range
+    shift — mirrors Common's Null semantics (quadtree.go:216-221)."""
     min_key = np.asarray(min_key, dtype=np.int64)
     max_key = np.asarray(max_key, dtype=np.int64)
     min_depth = np.asarray(min_depth, dtype=np.int64)
-    pa = min_key & ~_DEPTH_MASK
-    pb = max_key & ~_DEPTH_MASK
+    invalid = (min_key < 0) | (max_key < 0) | (min_depth < 0)
+    pa = np.where(invalid, np.int64(0), min_key) & ~_DEPTH_MASK
+    pb = np.where(invalid, np.int64(0), max_key) & ~_DEPTH_MASK
     x = (pa ^ pb).astype(np.uint64)
     bitlen = np.zeros(x.shape, dtype=np.int64)
     xx = x.copy()
@@ -319,9 +324,9 @@ def common_reduce(min_key, max_key, min_depth):
         xx = np.where(big, xx >> np.uint64(s), xx)
     bitlen = np.where(x > 0, bitlen + 1, 0)
     first_diff = np.where(x > 0, (63 - bitlen) >> 1, 31)
-    s_len = np.minimum(first_diff, min_depth)
+    s_len = np.minimum(first_diff, np.where(invalid, np.int64(0), min_depth))
     shift = (np.int64(63) - 2 * s_len).astype(np.int64)
-    return ((pa >> shift) << shift) + s_len
+    return np.where(invalid, NULL_QT, ((pa >> shift) << shift) + s_len)
 
 
 def cell_bounds(cells, buffer=0.0):

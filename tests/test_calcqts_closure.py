@@ -22,7 +22,7 @@ def test_nested_circular_relations(spark):
 
     # rel 1: ways 1,2 ; rel 2: ways 3,4 ; rel 3: rels 1,2 (nested)
     # rel 4: rel 3 (3 deep) ; rel 5: self-circular ; rel 6 <-> rel 7 pair
-    # rel 8: way 5 + rel 4
+    # rel 8: way 5 + rel 4 ; rel 9: empty members (encoded as mtype='none')
     members = [
         (1, "w", 1), (1, "w", 2),
         (2, "w", 3), (2, "w", 4),
@@ -31,6 +31,7 @@ def test_nested_circular_relations(spark):
         (5, "r", 5),
         (6, "r", 7), (7, "r", 6),
         (8, "w", 5), (8, "r", 4),
+        (9, "none", 0),
     ]
     mdf = spark.createDataFrame(members, ["rel_id", "mtype", "ref"])
     got = {
@@ -54,3 +55,6 @@ def test_nested_circular_relations(spark):
     # reference's "missing rel qts" accounting
     assert got[6] == -1 and got[7] == -1
     assert got[8] == r8
+    # empty-member relation -> 0 (resortwaynodes.go writeRelQts:
+    # mm.Len()==0 -> Set(ei, 0))
+    assert got[9] == 0

@@ -49,6 +49,22 @@ def test_point_cell_native_matches_numpy(coords_df):
     np.testing.assert_array_equal(got["cell"].values, want)
 
 
+def test_point_cell_exact_merc_matches_numpy(coords_df):
+    # the exact_merc variant routes merc(lat) through NumPy libm — always
+    # bit-identical to the kernel, including tile-edge-straddling latitudes
+    from osmquadtree_depreceated_spark.functions.cells import with_point_cell
+
+    df, pdf = coords_df
+    got = (
+        with_point_cell(df, "lon", "lat", "cell", 18, exact_merc=True)
+        .select("id", "cell")
+        .orderBy("id")
+        .toPandas()
+    )
+    want = point_cells_closed_form(pdf["lon"].values, pdf["lat"].values, 18)
+    np.testing.assert_array_equal(got["cell"].values, want)
+
+
 def test_point_cell_is_codegen_native(coords_df):
     df, _ = coords_df
     plan = df.select(point_cell("lon", "lat"))._jdf.queryExecution().executedPlan().toString()

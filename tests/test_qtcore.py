@@ -157,6 +157,27 @@ class TestRoundCommon:
             )[0]
             assert got == folded, cells
 
+    def test_common_reduce_null_guard(self):
+        # a NULL cell (-1) sneaking past a call-site pre-filter must
+        # propagate NULL_QT, not produce an out-of-range shift
+        got = common_reduce(
+            np.array([-32, 5 & -32, -32], dtype=np.int64),
+            np.array([100, -1, 100], dtype=np.int64),
+            np.array([3, 3, -1], dtype=np.int64),
+        )
+        assert list(got) == [-1, -1, -1]
+        # and valid inputs alongside invalid ones are unaffected
+        cells = _random_cells(5)
+        got2 = common_reduce(
+            np.array([cells.min(), -1]),
+            np.array([cells.max(), -1]),
+            np.array([(cells & 31).min(), 31]),
+        )
+        folded = -1
+        for c in cells:
+            folded = ref.common(folded, int(c))
+        assert got2[0] == folded and got2[1] == -1
+
     def test_common_associative_shuffle(self):
         cells = _random_cells(50)
         order = RNG.permutation(50)
