@@ -110,6 +110,38 @@ def _way_cells_oracle_ctes() -> str:
     )
 
 
+def _all_cells_cte() -> str:
+    """CTE chain ending in all_cells(cell) = node cells UNION ALL way cells
+    — the independent DuckDB computation of the full element cell set
+    (shared by the q25 histogram pass and the q25 oracle SQL)."""
+    fin = sqlgen.common_finish_sql(DUCK, "p.mn", "p.mx", "p.md")
+    fb_src = ("select node_id, lon as minx, lat as miny, "
+              "lon + 1 as maxx, lat + 1 as maxy from nodes")
+    return (
+        _way_cells_oracle_ctes() + ",\n"
+        + calculate_cte_fragments(fb_src, "node_id", 0.05, 18, prefix="fb")
+        + """,
+parent as (
+  select w.ref as node_id,
+         min((case when c.cell >= 0 then c.cell end) & (-32)) as mn,
+         max((case when c.cell >= 0 then c.cell end) & (-32)) as mx,
+         min((case when c.cell >= 0 then c.cell end) & 31) as md
+  from way_refs w join wc_cells c using (way_id)
+  group by w.ref
+),
+nc_cells as (
+  select n.node_id,
+         coalesce(""" + fin + """, f.cell) as cell
+  from nodes n
+  left join parent p on n.node_id = p.node_id
+  join fb_cells f on n.node_id = f.node_id
+),
+all_cells as (
+  select cell from nc_cells union all select cell from wc_cells
+)"""
+    )
+
+
 # ---------------------------------------------------------------- queries
 
 
@@ -241,11 +273,15 @@ select rel_id, coalesce(""" + fin + """, -1) as cell from agg"""
 
 
 def q06_bbox_join(spark, sf_dir) -> DataFrame:
-    """Query-bbox × way-bbox spatial join (packeddatastore.go:382-425)."""
+    """Query-bbox × way-bbox spatial join (packeddatastore.go:382-425),
+    running through the CELL-PRUNED path: cover-expansion of each query box
+    to level-8 prefixes -> broadcast equi-join on cell_round -> residual
+    exact intersect.  Same rows as the unpruned join (oracle is the plain
+    cross-product filter)."""
     _prep(spark, sf_dir)
-    return bbox_join(_boxes_df(spark), _way_bbox_df(spark)).select(
-        "query_id", "way_id"
-    )
+    wb = _way_bbox_df(spark)
+    geoms = wb.join(way_cells(wb, 0.05, 18), "way_id")
+    return bbox_join(_boxes_df(spark), geoms).select("query_id", "way_id")
 
 
 def q06_oracle() -> str:
@@ -850,8 +886,9 @@ def q25_tile_groups(spark, sf_dir) -> DataFrame:
     ways/relations carry shallow cells, giving the counting tree the
     interior mass the harvest rule needs (qttree.go:369-439 requires
     count != 0 at the harvested node) — plus distributed longest-prefix
-    assignment.  Driver-side algorithm — rows-only check (pytest holds the
-    conservation/prefix properties)."""
+    assignment.  Oracle: independent DuckDB histogram -> independent
+    recursive FindQtGroups reimplementation -> groups frozen as VALUES ->
+    SQL-side assignment + rollup (q25_oracle_build)."""
     _prep(spark, sf_dir)
     from .operators.tile_groups import assign_groups, tile_groups_df
 
@@ -865,6 +902,68 @@ def q25_tile_groups(spark, sf_dir) -> DataFrame:
     assigned = assign_groups(all_cells, groups, "cell")
     return assigned.groupBy("group_cell").agg(
         F.count(F.lit(1)).alias("n_elements")
+    )
+
+
+def q25_oracle_build() -> str | None:
+    """q25 oracle, built lazily (it needs one DuckDB pass over the target
+    parquet at build time).
+
+    Independence: the element-cell histogram is computed by the DuckDB CTE
+    descent (oracle/duck_calc.py — never engine code), the grouping runs
+    through oracle/qtgroups_ref.py (a structurally-different second
+    implementation of FindQtGroups that cross-checks the engine port), and
+    group ASSIGNMENT + the per-group rollup happen in SQL with the groups
+    embedded as VALUES.  Returns None (-> rows-only) if the parquet is
+    unavailable."""
+    import os
+
+    sf_dir = (
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+        or os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
+        or "/root/testdata/sf0.01"
+    )
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in ("part", "lineitem"):
+            con.execute(
+                f"create view {t} as select * from "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        hist = con.execute(
+            "with " + _all_cells_cte()
+            + "\nselect cell, count(*) as n from all_cells group by cell"
+        ).fetchall()
+        con.close()
+    except Exception:
+        return None
+    from .oracle.qtgroups_ref import find_qt_groups_ref
+
+    groups = find_qt_groups_ref(
+        [r[0] for r in hist], [r[1] for r in hist], target=800, minimum=1
+    )
+    vals = ", ".join(f"({int(g)})" for g, _ in groups)
+    return (
+        "with " + _all_cells_cte()
+        + f""",
+groups(group_cell) as (values {vals}),
+dc as (select distinct cell from all_cells),
+anc as (
+  select dc.cell, g.group_cell, (g.group_cell & 31) as gd
+  from dc join groups g
+    on (case when (dc.cell & 31) < (g.group_cell & 31) then dc.cell
+        else ((dc.cell >> (63 - 2 * (g.group_cell & 31)))
+              << (63 - 2 * (g.group_cell & 31))) + (g.group_cell & 31)
+        end) = g.group_cell
+),
+best as (
+  select cell, arg_max(group_cell, gd) as group_cell from anc group by cell
+)
+select b.group_cell, count(*) as n_elements
+from all_cells a left join best b using (cell)
+group by b.group_cell"""
     )
 
 
@@ -910,31 +1009,226 @@ from ends"""
     )
 
 
+_Q27_FIXTURE = dict(n_nodes=800, n_ways=400, n_rels=120, seed=42)
+
+
 def q27_multipolygon(spark, sf_dir) -> DataFrame:
-    """Multipolygon relation assembly (merge_rings/group_rings/finishRel
-    core) over the deterministic docs fixture — grouped-map op, rows-only
-    check (scalar-port parity lives in pytest)."""
+    """Multipolygon relation assembly with the FULL finishRel tag pass
+    (merge_rings / group_rings / outer-tag Add+Clip merge-back / wayTags
+    filter / duplicated-tag deletions, makegeometries.go:472-643) over the
+    deterministic docs fixture.  Oracle: an independent pure-Python
+    replication over the generator's ground-truth tables, frozen as VALUES
+    (q27_oracle) — verifies the Spark plumbing (joins, member ordering,
+    grouped-map marshalling) end to end."""
     _prep(spark, sf_dir)
-    from .operators.geometry import add_way_coords, assemble_multipolygons
+    from .operators.geometry import (
+        add_way_coords,
+        assemble_multipolygons,
+        with_tag_rewrite,
+    )
     from .sources.docs import docs_to_spark, generate_docs, parse_spans
 
-    rows, _ = generate_docs(n_nodes=400, n_ways=120, n_rels=30, seed=7)
+    rows, _ = generate_docs(**_Q27_FIXTURE)
     parsed = parse_spans(docs_to_spark(spark, rows))
     nodes = parsed["nodes"].select("node_id", "lon", "lat")
     way_refs = parsed["ways"].select(
         "way_id", F.posexplode("refs").alias("pos", "ref")
     )
     wc = add_way_coords(way_refs, nodes)
+    tags = parsed["tags"]
+    way_tags = (
+        parsed["ways"].select("way_id", "doc_id")
+        .join(tags, "doc_id", "left")
+        .select("way_id", "tags")
+    )
+    # member ways carry wayTags-FILTERED tags into the relation pass, as in
+    # the reference (geometries were already tag-rewritten)
+    way_tags = with_tag_rewrite(way_tags, "way").select(
+        "way_id", F.col("tags_out").alias("tags")
+    )
+    rel_tags = (
+        parsed["rels"].select("rel_id", "doc_id")
+        .join(tags, "doc_id", "left")
+        .select("rel_id", "tags")
+    )
     members = (
         parsed["rels"]
-        .select("rel_id", F.explode("members").alias("m"))
+        .select("rel_id", F.posexplode("members").alias("mpos", "m"))
         .filter(F.col("m.mtype") == "w")
-        .select("rel_id", F.col("m.ref").alias("ref"),
+        .select("rel_id", "mpos", F.col("m.ref").alias("ref"),
                 F.col("m.role").alias("role"))
     )
-    out = assemble_multipolygons(members, wc)
-    return out.select("rel_id", "geom_type", "n_rings", "n_groups",
-                      "minx", "miny", "maxx", "maxy")
+    out = assemble_multipolygons(members, wc, rel_tags=rel_tags,
+                                 way_tags=way_tags)
+    return out.select(
+        "rel_id", "geom_type", "n_rings", "n_groups",
+        "minx", "miny", "maxx", "maxy", "z_order",
+        F.expr(
+            "array_join(array_sort(transform(map_entries(tags),"
+            " e -> concat(e.key, '=', e.value))), ';')"
+        ).alias("tags_sig"),
+        F.expr(
+            "array_join(array_sort(transform(del_pairs,"
+            " d -> concat(cast(d.way_id as string), ':', d.key))), ';')"
+        ).alias("del_sig"),
+    )
+
+
+def q27_oracle() -> str:
+    """Expected q27 rows via an independent scalar replication over the
+    generator's ground-truth tables (no Spark involved), frozen as VALUES.
+    The ring/tag algebra is the scalar reference (qtcore.rings /
+    qtcore.tags) — the quantities under test are the engine's distributed
+    joins, member-order handling and grouped-map semantics."""
+    from .qtcore import rings as R
+    from .qtcore import tags as T
+    from .operators.geometry import GEOM_MULTIPOLYGON, GEOM_POLYGON
+    from .sources.docs import generate_docs
+
+    _, truth = generate_docs(**_Q27_FIXTURE)
+    nodes = {nid: (lon, lat) for _, nid, lon, lat in truth["nodes"]}
+    ways = {wid: refs for _, wid, refs in truth["ways"]}
+    wtags = {
+        wid: T.way_tags_filter(truth["tags"].get(("way", wid), {}))[2]
+        for wid in ways
+    }
+    out_rows = []
+    for _, rid, members in truth["rels"]:
+        rt = dict(truth["tags"].get(("relation", rid), {}))
+        isboundary = "boundary" in rt
+        outers, inners, outer_refs, outer_tags = [], [], [], {}
+        for mt, ref, role in members:
+            if mt != "w" or ref not in ways:
+                continue
+            refs = ways[ref]
+            if any(r not in nodes for r in refs):
+                continue  # add_way_coords drops incomplete ways
+            ring = [(r, nodes[r][0], nodes[r][1]) for r in refs]
+            if role == "inner":
+                inners.append(ring)
+            else:
+                outers.append(ring)
+                outer_refs.append(ref)
+                if not isboundary:
+                    T.tags_add(outer_tags, wtags[ref])
+        if not outers:
+            continue
+        outer_rings = [r for r in R.merge_rings(outers) if R.check_ring(r)]
+        inner_rings = [r for r in R.merge_rings(inners) if R.check_ring(r)]
+        if not outer_rings:
+            continue
+        groups = R.group_rings(outer_rings, inner_rings, allow_loose=True)
+        T.tags_add(rt, outer_tags)
+        T.tags_clip(rt)
+        zo, isp, rt = T.way_tags_filter(rt)
+        if not rt or not isp:
+            continue
+        dels = []
+        if not isboundary:
+            for wid in outer_refs:
+                for k, v in rt.items():
+                    if wtags[wid].get(k) == v:
+                        dels.append((wid, k))
+        pts = [p for g in groups for ring in g for p in ring]
+        gt = GEOM_POLYGON if len(groups) == 1 else GEOM_MULTIPOLYGON
+        tags_sig = ";".join(sorted(f"{k}={v}" for k, v in rt.items()))
+        del_sig = ";".join(sorted(f"{w}:{k}" for w, k in dels))
+        out_rows.append((
+            rid, gt, sum(len(g) for g in groups), len(groups),
+            min(p[1] for p in pts), min(p[2] for p in pts),
+            max(p[1] for p in pts), max(p[2] for p in pts),
+            zo, tags_sig, del_sig,
+        ))
+
+    cols = ("rel_id bigint, geom_type integer, n_rings integer, "
+            "n_groups integer, minx bigint, miny bigint, maxx bigint, "
+            "maxy bigint, z_order bigint, tags_sig varchar, del_sig varchar")
+    if not out_rows:
+        return (f"select * from (values (0,0,0,0,0,0,0,0,0,'','')) "
+                f"as t({', '.join(c.split()[0] for c in cols.split(', '))})"
+                f" where false")
+
+    def _lit(v):
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(int(v))
+
+    vals = ",\n  ".join(
+        "(" + ", ".join(_lit(v) for v in r) + ")" for r in out_rows
+    )
+    names = [c.split()[0] for c in cols.split(", ")]
+    casts = ", ".join(
+        f"cast({n} as {t}) as {n}"
+        for n, t in ((c.split()[0], c.split()[1]) for c in cols.split(", "))
+    )
+    return (f"select {casts} from (values\n  {vals}\n) "
+            f"as t({', '.join(names)})")
+
+
+# deterministic synthesized node tags — dialect-neutral pieces so both
+# engines derive the same tag set per node
+_NODE_TAGS_CASES = {
+    "highway": ("node_id % 5 = 0", "'hw' || (node_id % 7)"),
+    "amenity": ("node_id % 3 = 0", "'am' || (node_id % 4)"),
+    "name": ("node_id % 4 = 0", "'n' || (node_id % 11)"),
+    "randomkey": ("node_id % 2 = 0", "'rv' || (node_id % 13)"),
+}
+
+_NODE_TAGS_SPARK_SQL = """
+select node_id, lon, lat,
+  map_filter(map(""" + ", ".join(
+    f"'{k}', case when {cond} then cast({val} as string) end"
+    for k, (cond, val) in _NODE_TAGS_CASES.items()
+) + """), (k, v) -> v is not null) as tags
+from nodes
+"""
+
+
+def q34_node_points(spark, sf_dir) -> DataFrame:
+    """Node -> Point geometry with the nodeTags rewrite
+    (makegeometries.go:139-157 + :43-69): feature filter, style keys kept,
+    the rest folded into sorted-key other_tags JSON, point cell — all
+    native.  Oracle: the same rewrite replicated as plain SQL over the
+    deterministic synthesized node tags."""
+    _prep(spark, sf_dir)
+    from .operators.geometry import make_node_geometries
+
+    nt = spark.sql(_NODE_TAGS_SPARK_SQL)
+    out = make_node_geometries(nt)
+    return out.select(
+        "node_id", "lon", "lat", "geom_type", "cell",
+        F.expr(
+            "array_join(array_sort(transform(map_entries(tags),"
+            " e -> concat(e.key, '=', e.value))), ';')"
+        ).alias("tags_sig"),
+    )
+
+
+def q34_oracle() -> str:
+    cell = sqlgen.point_cell_sql(DUCK, "lon", "lat", 18)
+    hw_c, hw_v = _NODE_TAGS_CASES["highway"]
+    am_c, am_v = _NODE_TAGS_CASES["amenity"]
+    nm_c, nm_v = _NODE_TAGS_CASES["name"]
+    rk_c, rk_v = _NODE_TAGS_CASES["randomkey"]
+    # expected rewritten tags: highway/amenity/name kept (node style keys);
+    # randomkey folds into other_tags JSON; feature iff highway or amenity
+    return (
+        tpch.synth_cte_prefix("nodes")
+        + f""",
+feat as (
+  select node_id, lon, lat,
+    case when {hw_c} then 'highway=' || {hw_v} end as t_hw,
+    case when {am_c} then 'amenity=' || {am_v} end as t_am,
+    case when {nm_c} then 'name=' || {nm_v} end as t_nm,
+    case when {rk_c} then
+      'other_tags={{"randomkey":"' || {rk_v} || '"}}' end as t_ot
+  from nodes
+  where ({hw_c}) or ({am_c})
+)
+select node_id, lon, lat, 1 as geom_type, {cell} as cell,
+       concat_ws(';', t_am, t_hw, t_nm, t_ot) as tags_sig
+from feat"""
+    )
 
 
 def q28_windowed_events(spark, sf_dir) -> DataFrame:
@@ -1188,9 +1482,46 @@ GATE_QUERIES = {
     "q30_media_features": q30_media_features,
     "q31_node_parent": q31_node_parent,
     "q32_relation_range": q32_relation_range,
+    "q34_node_points": q34_node_points,
 }
 
-GATE_ORACLES = {
+class _LazyOracles(dict):
+    """Oracle SQL strings; a value may also be a zero-arg callable that
+    builds the SQL on first access (q25 needs a DuckDB pass over the target
+    parquet to freeze its group table).  A callable returning None means
+    the oracle is unavailable in this environment — the key then reads as
+    absent and the driver records a rows-only check."""
+
+    def __getitem__(self, k):
+        v = super().__getitem__(k)
+        if callable(v):
+            v = v()
+            if v is None:
+                raise KeyError(k)
+            dict.__setitem__(self, k, v)
+        return v
+
+    def __contains__(self, k) -> bool:
+        if not super().__contains__(k):
+            return False
+        try:
+            self[k]
+        except KeyError:
+            return False
+        return True
+
+    def resolved(self) -> dict:
+        """Plain dict of every available oracle (callables resolved)."""
+        out = {}
+        for k in list(dict.keys(self)):
+            try:
+                out[k] = self[k]
+            except KeyError:
+                pass
+        return out
+
+
+GATE_ORACLES = _LazyOracles({
     "q01_node_cell_histogram": q01_oracle(),
     "q02_cell_codec": q02_oracle(),
     "q03_way_cells": q03_oracle(),
@@ -1215,15 +1546,16 @@ GATE_ORACLES = {
     "q22_simhash": q22_oracle(),
     "q23_embed_neardup_lsh": q23_oracle(),
     "q24_knn_cells": q08_oracle(),  # cell expansion must equal brute force
-    # q25_tile_groups / q27_multipolygon: driver-side algorithm / grouped-map
-    # assembly — rows-only here, properties + scalar-port parity in pytest.
+    "q25_tile_groups": q25_oracle_build,  # lazy: needs a DuckDB build pass
     "q26_way_geometry": q26_oracle(),
+    "q27_multipolygon": q27_oracle(),
     "q28_windowed_events": q28_oracle(),
     "q29_complete_ways": q29_oracle(),
     "q30_media_features": q30_oracle(),
     "q31_node_parent": q31_oracle(),
     "q32_relation_range": q32_oracle(),
-}
+    "q34_node_points": q34_oracle(),
+})
 
 
 def entry_query(spark: SparkSession,

@@ -30,6 +30,196 @@ from ..qtcore import rings as R
 GEOM_POINT, GEOM_LINESTRING, GEOM_POLYGON, GEOM_MULTIPOLYGON = 1, 2, 3, 7
 
 
+def with_tag_rewrite(df: DataFrame, which: str = "way",
+                     tag_filter: dict | None = None,
+                     tags_col: str = "tags") -> DataFrame:
+    """Native tag filter/rewrite (wayTags/nodeTags + addOtherTags,
+    makegeometries.go:24-120): keep style keys for `which` ('way'|'node'),
+    fold every other key — plus any pre-existing other_tags value — into a
+    sorted-key compact JSON string under 'other_tags', and derive:
+
+      * `is_feature` — any style feature key present
+      * `is_poly`    — (way only) any poly-ish key, area=yes, or boundary
+      * `z_order`    — (way only) the zorder.go:66-121 rule over the
+                       REWRITTEN tags: railway beats highway (sorted-key
+                       iteration order), layer*10, bridge/tunnel +/-1,
+                       explicit z_order override
+
+    All columns are pure Catalyst expressions (stepped withColumns — zero
+    Python).  JSON note: values are emitted unescaped; this equals
+    json.Marshal/json.dumps output for values without ", \\ or control
+    chars (the fixture model; an escape-capable pandas-UDF fold would slot
+    in here for arbitrary payloads).  Scalar reference:
+    qtcore/tags.py (property-tested parity).
+    """
+    from ..qtcore.tags import DEFAULT_TAG_FILTER
+
+    tf = DEFAULT_TAG_FILTER if tag_filter is None else tag_filter
+    is_which = (lambda tt: tt.is_way) if which == "way" else (
+        lambda tt: tt.is_node)
+    keep = [k for k, tt in tf.items() if is_which(tt) and k != "other_tags"]
+    feat = [k for k, tt in tf.items()
+            if is_which(tt) and tt.is_feature and k != "other_tags"]
+    poly = [k for k, tt in tf.items()
+            if tt.is_way and tt.is_poly and k != "other_tags"]
+    fold_enabled = "other_tags" in tf
+    keep_l = ", ".join(f"'{k}'" for k in keep) or "''"
+    feat_l = ", ".join(f"'{k}'" for k in feat) or "''"
+    poly_l = ", ".join(f"'{k}'" for k in poly) or "''"
+    t = "__tr"
+    tc = tags_col
+
+    df = df.withColumn(
+        f"{t}_feat",
+        F.expr(f"{tc} is not null and "
+               f"exists(map_keys({tc}), k -> k in ({feat_l}))"),
+    )
+    if which == "way":
+        df = df.withColumn(
+            f"{t}_poly",
+            F.expr(
+                f"{tc} is not null and ("
+                f"exists(map_keys({tc}), k -> k in ({poly_l})) "
+                f"or lower(coalesce(element_at({tc}, 'area'), '')) "
+                f"   in ('1', 'yes', 'true') "
+                f"or element_at({tc}, 'boundary') is not null)"
+            ),
+        )
+    df = (
+        df.withColumn(
+            f"{t}_kept",
+            F.expr(f"map_filter({tc}, (k, v) -> k in ({keep_l}))"),
+        )
+        .withColumn(
+            f"{t}_fold",
+            F.expr(
+                f"map_filter({tc}, (k, v) -> not k in ({keep_l}))"
+            ),
+        )
+        .withColumn(
+            f"{t}_need",
+            F.expr(
+                f"{str(fold_enabled).lower()} and {tc} is not null and ("
+                f"exists(map_keys({tc}),"
+                f"  k -> not k in ({keep_l}, 'other_tags')) "
+                f"or element_at({tc}, 'other_tags') is not null)"
+            ),
+        )
+        .withColumn(
+            f"{t}_json",
+            F.expr(
+                f"'{{' || array_join(transform(array_sort("
+                f"map_entries({t}_fold)), "
+                "e -> '\"' || e.key || '\":\"' || e.value || '\"'), ',') "
+                f"|| '}}'"
+            ),
+        )
+        .withColumn(
+            "tags_out",
+            F.expr(
+                f"case when {tc} is null then null "
+                f"when {t}_need then "
+                f"map_concat({t}_kept, map('other_tags', {t}_json)) "
+                f"else {t}_kept end"
+            ),
+        )
+    )
+    if which == "way":
+        df = with_zorder(df, "tags_out", "z_order", tmp=f"{t}_zo")
+        df = df.withColumn("is_poly", F.col(f"{t}_poly"))
+    df = df.withColumn("is_feature", F.col(f"{t}_feat"))
+    return df.drop(*[c for c in df.columns if c.startswith(t)])
+
+
+def with_zorder(df: DataFrame, tags_col: str = "tags",
+                out: str = "z_order", tmp: str = "__zo") -> DataFrame:
+    """Native z-order (find_zorder, zorder.go:60-119 — exact semantics,
+    order-independent): zo = max(highway rank if > 1, 5 if railway, 0);
+    l = sum(int(layer)) +1/-1 for bridge/tunnel unless explicitly false;
+    an explicit z_order tag replaces zo (unparseable -> 0 outright); l*10
+    added last.  The 20-entry rank table is a map literal — one broadcast
+    value, no UDF (scalar reference: qtcore.rings.find_zorder)."""
+    t = tmp
+    tc = tags_col
+    hw = ", ".join(f"'{k}', {v}L" for k, v in sorted(_HW_ORDER.items()))
+    df = (
+        df.withColumn(
+            f"{t}_hw",
+            F.expr(f"coalesce(element_at(map({hw}),"
+                   f" element_at({tc}, 'highway')), 0L)"),
+        )
+        .withColumn(
+            f"{t}_base",
+            F.expr(
+                f"greatest(case when {t}_hw > 1 then {t}_hw else 0L end, "
+                f"case when element_at({tc}, 'railway') is not null "
+                f"then 5L else 0L end)"
+            ),
+        )
+        .withColumn(
+            f"{t}_l",
+            F.expr(
+                f"coalesce(try_cast(element_at({tc}, 'layer') as bigint),"
+                f" 0L) "
+                f"+ (case when element_at({tc}, 'bridge') is not null and "
+                f"not lower(element_at({tc}, 'bridge')) in ('0','no','false')"
+                f" then 1L else 0L end) "
+                f"- (case when element_at({tc}, 'tunnel') is not null and "
+                f"not lower(element_at({tc}, 'tunnel')) in ('0','no','false')"
+                f" then 1L else 0L end)"
+            ),
+        )
+        .withColumn(
+            out,
+            F.expr(
+                f"case when coalesce(element_at({tc}, 'z_order'), '') != ''"
+                f" then (case when try_cast(element_at({tc}, 'z_order')"
+                f" as bigint) is null then 0L else"
+                f" try_cast(element_at({tc}, 'z_order') as bigint)"
+                f" + {t}_l * 10 end) "
+                f"else {t}_base + {t}_l * 10 end"
+            ),
+        )
+    )
+    return df.drop(*[c for c in df.columns if c.startswith(t)])
+
+
+_HW_ORDER = {
+    "service": 1, "footway": 1, "path": 1, "footpath": 1, "cycleway": 1,
+    "bridlepath": 1, "living_street": 2, "pedestrian": 2, "residential": 3,
+    "unclassified": 3, "road": 3, "tertiary_link": 4, "tertiary": 4,
+    "secondary_link": 6, "secondary": 6, "primary_link": 7, "primary": 7,
+    "trunk_link": 8, "trunk": 8, "motorway_link": 9, "motorway": 9,
+}
+
+
+def make_node_geometries(nodes_with_tags: DataFrame,
+                         tag_filter: dict | None = None,
+                         max_level: int = 18) -> DataFrame:
+    """Node -> Point features (makegeometries.go:139-157): the nodeTags
+    pass runs natively (with_tag_rewrite 'node'), nodes WITHOUT a
+    node-feature tag are dropped, survivors emit GEOM_POINT rows with the
+    rewritten tags, a degenerate point bbox, and the depth-`max_level`
+    point cell — all pure Catalyst expressions.
+
+    nodes_with_tags: (node_id, lon, lat, tags map<string,string>).
+    """
+    from ..functions.cells import with_point_cell
+
+    df = with_tag_rewrite(nodes_with_tags, "node", tag_filter)
+    df = (
+        df.filter(F.col("is_feature"))
+        .drop("tags")
+        .withColumnRenamed("tags_out", "tags")
+        .withColumn("geom_type", F.lit(GEOM_POINT))
+        .withColumn("minx", F.col("lon"))
+        .withColumn("miny", F.col("lat"))
+        .withColumn("maxx", F.col("lon"))
+        .withColumn("maxy", F.col("lat"))
+    )
+    return with_point_cell(df, "lon", "lat", "cell", max_level)
+
+
 def add_way_coords(way_refs: DataFrame, nodes: DataFrame,
                    drop_missing: bool = True) -> DataFrame:
     """way_refs(way_id, pos, ref) ⋈ nodes(node_id, lon, lat) ->
@@ -65,26 +255,30 @@ def add_way_coords(way_refs: DataFrame, nodes: DataFrame,
 
 def make_way_geometries(way_coords: DataFrame, way_tags: DataFrame | None,
                         recalc_buffer: float = 0.025,
-                        max_level: int = 18) -> DataFrame:
-    """Way rows -> geometry rows: geom_type, bbox, z_order, way_area, cell.
+                        max_level: int = 18,
+                        tag_filter: dict | None = None) -> DataFrame:
+    """Way rows -> geometry rows: rewritten tags, geom_type, bbox, z_order,
+    way_area, is_feature, cell (makegeometries.go:160-189).
 
-    is_poly: closed ring AND (area=yes / boundary / poly-ish tag) — the
-    wayTags rule (makegeometries.go:99-118) with the fixture tag model
-    (area/building/natural => polygon candidates).  way_tags is
-    (way_id, tags map<string,string>) or None (all-closed-become-polygons).
-    """
+    With way_tags (way_id, tags map): the full wayTags pass runs natively
+    (with_tag_rewrite) — style keys kept, the rest folded into other_tags
+    JSON, is_poly from poly-ish keys / area=yes / boundary, z_order per
+    zorder.go.  is_poly additionally requires a closed ring (:165-167).
+    way_tags=None keeps the assembly-only mode (all closed rings become
+    polygons, tags null).  Area: vectorized flat-ragged Arrow kernel
+    (qtcore.rings.ring_areas_vectorized) — no per-row Python."""
     df = way_coords
     if way_tags is not None:
         df = df.join(way_tags, "way_id", "left")
-        poly_tag = F.expr(
-            "tags is not null and ("
-            "  (element_at(tags, 'area') in ('yes', '1', 'true'))"
-            "  or element_at(tags, 'boundary') is not null"
-            "  or element_at(tags, 'building') is not null"
-            "  or element_at(tags, 'natural') is not null)"
-        )
+        df = with_tag_rewrite(df, "way", tag_filter)
+        df = df.drop("tags").withColumnRenamed("tags_out", "tags")
+        poly_tag = F.col("is_poly")
     else:
-        df = df.withColumn("tags", F.expr("cast(null as map<string,string>)"))
+        df = (
+            df.withColumn("tags", F.expr("cast(null as map<string,string>)"))
+            .withColumn("z_order", F.lit(0).cast("long"))
+            .withColumn("is_feature", F.lit(False))
+        )
         poly_tag = F.lit(True)
 
     closed = F.expr(
@@ -105,81 +299,105 @@ def make_way_geometries(way_coords: DataFrame, way_tags: DataFrame | None,
         .withColumn("maxy", F.array_max("lats"))
     )
     area = _ring_area_udf()
-    zorder = _zorder_udf()
     calc = cell_of_bbox_udf(recalc_buffer, max_level)
     return (
         df.withColumn(
             "way_area",
             F.when(F.col("is_poly"), area("lons", "lats")).otherwise(F.lit(0.0)),
         )
-        .withColumn("z_order", zorder("tags"))
         .withColumn("cell", calc("minx", "miny", "maxx", "maxy"))
     )
 
 
 def _ring_area_udf():
-    """Grouped-by-row ragged ring area: numpy per ring (rings are short;
-    the batch axis is Arrow)."""
-    import numpy as np
+    """Arrow-batched ragged ring area: one vectorized kernel per batch
+    (flattened offsets + position-wise sequential fold — bit-identical to
+    the scalar polygon_area, see qtcore.rings.ring_areas_vectorized)."""
 
     @F.pandas_udf("double")
     def _area(lons: pd.Series, lats: pd.Series) -> pd.Series:
-        out = np.zeros(len(lons))
-        for i in range(len(lons)):
-            ring = [(0, int(a), int(b)) for a, b in zip(lons[i], lats[i])]
-            try:
-                out[i] = R.polygon_area([ring])
-            except ValueError:
-                out[i] = 0.0
-        return pd.Series(out)
+        return pd.Series(R.ring_areas_vectorized(list(lons), list(lats)))
 
     return _area
-
-
-def _zorder_udf():
-    @F.pandas_udf("long")
-    def _zo(tags: pd.Series) -> pd.Series:
-        return pd.Series(
-            [R.find_zorder(t) if t else 0 for t in tags], dtype="int64"
-        )
-
-    return _zo
 
 
 _MP_SCHEMA = (
     "rel_id long, geom_type int, n_rings int, n_groups int, "
     "way_area double, minx long, miny long, maxx long, maxy long, "
-    "outer_refs array<long>"
+    "outer_refs array<long>, z_order long, tags map<string,string>, "
+    "del_pairs array<struct<way_id: long, key: string>>"
 )
 
 
 def assemble_multipolygons(rel_way_members: DataFrame,
-                           way_coords: DataFrame) -> DataFrame:
-    """Multipolygon assembly (finishRel core, makegeometries.go:472-643).
+                           way_coords: DataFrame,
+                           rel_tags: DataFrame | None = None,
+                           way_tags: DataFrame | None = None,
+                           tag_filter: dict | None = None) -> DataFrame:
+    """Multipolygon assembly (finishRel, makegeometries.go:472-643).
 
-    rel_way_members: (rel_id, ref, role in 'outer'/'inner'/'')
+    rel_way_members: (rel_id, ref, role in 'outer'/'inner'/'' [, mpos]) —
+    mpos is the member's position within the relation; rings are processed
+    in member order like the reference (without it, grouped-map row order
+    would be nondeterministic and merge_rings order-sensitive).
     way_coords: add_way_coords output.
+    rel_tags / way_tags: optional (rel_id|way_id, tags map) — when given,
+    the full tag merge-back runs per group: outer-way tags accumulate with
+    Add/Clip conflict semantics into the relation tags (skipped for
+    boundary relations), wayTags filters + folds other_tags + decides
+    polygon-ness, relations left tagless or non-poly are DROPPED, and tags
+    the final relation shares with an outer way are emitted as `del_pairs`
+    for apply_outer_tag_deletions (:603-627).
 
-    Member ways join their coords, group by relation, and each group runs
-    merge_rings -> check_ring -> group_rings -> area.  Polygon if one ring
-    group, MultiPolygon if several; relations with no valid outer ring are
-    dropped, orphan inners dropped (allowLoose).  Tag merging between
-    relation and outer ways (:603-627) is handled by the caller as a second
-    join-back pass — the reference's mutable shared-map side effect has no
-    place in a distributed plan.
+    Each group runs merge_rings -> check_ring -> group_rings -> area.
+    Polygon if one ring group, MultiPolygon if several; relations with no
+    valid outer ring are dropped, orphan inners dropped (allowLoose).
+    Distribution axis is the relation id; mega-relations are the known skew
+    case and ride on AQE skew splitting.
     """
+    from ..qtcore import tags as T
+
+    with_tags = rel_tags is not None
+    members = rel_way_members
+    if "mpos" not in members.columns:
+        members = members.withColumn("mpos", F.lit(0).cast("long"))
+    if with_tags:
+        if way_tags is not None:
+            members = members.join(
+                way_tags.select(F.col("way_id").alias("ref"),
+                                F.col("tags").alias("wtags")),
+                "ref", "left",
+            )
+        else:
+            members = members.withColumn(
+                "wtags", F.expr("cast(null as map<string,string>)")
+            )
     joined = (
-        rel_way_members.join(
+        members.join(
             way_coords.select("way_id", "refs", "lons", "lats"),
-            rel_way_members["ref"] == way_coords["way_id"],
+            members["ref"] == way_coords["way_id"],
             "inner",
         )
-        .select("rel_id", "role", "way_id", "refs", "lons", "lats")
+        .select("rel_id", "mpos", "role", "way_id", "refs", "lons", "lats",
+                *(["wtags"] if with_tags else []))
     )
+    if with_tags:
+        joined = joined.join(
+            rel_tags.select("rel_id", F.col("tags").alias("rtags")),
+            "rel_id", "left",
+        )
 
     def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
         rel_id = int(key[0])
-        outers, inners, outer_refs = [], [], []
+        pdf = pdf.sort_values(["mpos", "way_id"], kind="mergesort")
+        if with_tags:
+            rt0 = pdf["rtags"].iloc[0]
+            rt = dict(rt0) if rt0 is not None else {}
+        else:
+            rt = {}
+        isboundary = "boundary" in rt
+        outers, inners, outer_refs, outer_tags = [], [], [], {}
+        way_tag_map = {}
         for _, row in pdf.iterrows():
             ring = [
                 (int(r), int(a), int(b))
@@ -189,14 +407,39 @@ def assemble_multipolygons(rel_way_members: DataFrame,
                 inners.append(ring)
             else:
                 outers.append(ring)
-                outer_refs.append(int(row["way_id"]))
+                wid = int(row["way_id"])
+                outer_refs.append(wid)
+                if with_tags:
+                    wt = row["wtags"]
+                    wt = dict(wt) if wt is not None else {}
+                    way_tag_map[wid] = wt
+                    if not isboundary:
+                        T.tags_add(outer_tags, wt)
         if not outers:
-            return pd.DataFrame(columns=_MP_COLS).astype(_MP_DTYPES)
+            return _MP_EMPTY()
         outer_rings = [r for r in R.merge_rings(outers) if R.check_ring(r)]
         inner_rings = [r for r in R.merge_rings(inners) if R.check_ring(r)]
         if not outer_rings:
-            return pd.DataFrame(columns=_MP_COLS).astype(_MP_DTYPES)
+            return _MP_EMPTY()
         groups = R.group_rings(outer_rings, inner_rings, allow_loose=True)
+
+        zo = 0
+        del_pairs: list = []
+        if with_tags:
+            # rt.Add(outerTags); rt.Clip(); wayTags(rt) (:603-607)
+            T.tags_add(rt, outer_tags)
+            T.tags_clip(rt)
+            zo, isp, rt = T.way_tags_filter(rt, tag_filter)
+            if not rt or not isp:
+                return _MP_EMPTY()
+            if not isboundary:
+                # duplicated (k,v) deleted from outer ways (:611-627)
+                for wid in outer_refs:
+                    wt = way_tag_map.get(wid, {})
+                    for k, v in rt.items():
+                        if wt.get(k) == v:
+                            del_pairs.append({"way_id": wid, "key": k})
+
         area = 0.0
         for g in groups:
             try:
@@ -218,6 +461,9 @@ def assemble_multipolygons(rel_way_members: DataFrame,
                     "maxx": max(p[1] for p in pts),
                     "maxy": max(p[2] for p in pts),
                     "outer_refs": sorted(outer_refs),
+                    "z_order": zo,
+                    "tags": rt if with_tags else None,
+                    "del_pairs": del_pairs,
                 }
             ]
         )
@@ -226,10 +472,52 @@ def assemble_multipolygons(rel_way_members: DataFrame,
 
 
 _MP_COLS = ["rel_id", "geom_type", "n_rings", "n_groups", "way_area",
-            "minx", "miny", "maxx", "maxy", "outer_refs"]
+            "minx", "miny", "maxx", "maxy", "outer_refs", "z_order",
+            "tags", "del_pairs"]
 _MP_DTYPES = {
     "rel_id": "int64", "geom_type": "int32", "n_rings": "int32",
     "n_groups": "int32", "way_area": "float64", "minx": "int64",
     "miny": "int64", "maxx": "int64", "maxy": "int64",
-    "outer_refs": "object",
+    "outer_refs": "object", "z_order": "int64", "tags": "object",
+    "del_pairs": "object",
 }
+
+
+def _MP_EMPTY() -> pd.DataFrame:
+    return pd.DataFrame(columns=_MP_COLS).astype(_MP_DTYPES)
+
+
+def apply_outer_tag_deletions(way_geoms: DataFrame, mp_out: DataFrame,
+                              tag_filter: dict | None = None) -> DataFrame:
+    """Second pass of the finishRel tag merge-back (makegeometries.go
+    :538-556): outer ways re-emit standalone only after the tags their
+    relations inherited are deleted, and only if a feature tag remains.
+
+    way_geoms: rows with (way_id, tags map); mp_out: assemble_multipolygons
+    output (del_pairs are aggregated per way across ALL owning relations —
+    the reference's ww-consumed bookkeeping collapses to this since every
+    relation contributes its deletions).  Fully distributed: explode + one
+    aggregation + one join; the per-row tag subtraction and feature test
+    are native map expressions.
+    """
+    from ..qtcore.tags import DEFAULT_TAG_FILTER
+
+    tf = DEFAULT_TAG_FILTER if tag_filter is None else tag_filter
+    feature_keys = [k for k, tt in tf.items() if tt.is_way and tt.is_feature]
+    dels = (
+        mp_out.select(F.explode("del_pairs").alias("d"))
+        .select(F.col("d.way_id").alias("way_id"), F.col("d.key").alias("key"))
+        .groupBy("way_id")
+        .agg(F.collect_set("key").alias("_del_keys"))
+    )
+    out = way_geoms.join(dels, "way_id", "left").withColumn(
+        "tags",
+        F.expr(
+            "case when _del_keys is null then tags else "
+            "map_filter(tags, (k, v) -> not array_contains(_del_keys, k)) end"
+        ),
+    ).drop("_del_keys")
+    feat = " or ".join(
+        f"element_at(tags, '{k}') is not null" for k in feature_keys
+    )
+    return out.filter(F.expr(f"tags is not null and ({feat})"))

@@ -22,24 +22,64 @@ from ..functions.udfs import point_in_poly_udf
 
 
 def bbox_join(queries: DataFrame, geoms: DataFrame,
-              prune_cells: bool = True, prune_level: int = 8) -> DataFrame:
+              prune_cells: bool = True, prune_level: int = 8,
+              cell_buffer: float = 0.05, cell_col: str = "cell") -> DataFrame:
     """queries(query_id, qminx, qminy, qmaxx, qmaxy) × geoms(..., minx, miny,
     maxx, maxy[, cell]) -> rows of geoms intersecting each query box.
 
-    Tile prune then residual intersect, mirroring packeddatastore.go:402-410.
-    When `prune_cells` and geoms carries a `cell` column, a coarse
-    cell-bounds pre-filter (buffered, level `prune_level`) runs natively
-    before the exact bbox test; with a cell-partitioned table this becomes
-    partition pruning instead of a scan.
+    Tile prune then residual intersect, mirroring packeddatastore.go:382-425:
+    when `prune_cells` and geoms carries `cell_col`, each query box expands
+    to its buffered cover cells at depths <= `prune_level`
+    (qtcore.cover_cells) and the join becomes a broadcast EQUI-join on
+    cell_round(cell, prune_level) — a hash join Catalyst can plan, and with
+    a table partitioned/bucketed on the rounded cell key, partition/file
+    pruning instead of a scan.  Only cover survivors evaluate the exact
+    bbox predicate, so results are identical to the unpruned join (the
+    cover set provably contains every intersecting geometry's rounded
+    cell).  `cell_buffer` MUST match the buffer the cells were calculated
+    with (0.05, resortwaynodes.go:615).  Null/invalid cells round up to the
+    root cover cell and fall back to the residual test.
+
+    Without a cell column the join degrades to the broadcast
+    nested-loop-with-residual baseline.
     """
-    q = broadcast(queries)
     cond = (
         (F.col("minx") <= F.col("qmaxx"))
         & (F.col("miny") <= F.col("qmaxy"))
         & (F.col("maxx") >= F.col("qminx"))
         & (F.col("maxy") >= F.col("qminy"))
     )
-    return geoms.join(q, cond, "inner")
+    if prune_cells and cell_col in geoms.columns:
+        from ..qtcore import cover_cells
+
+        spark = geoms.sparkSession
+        qrows = queries.collect()
+        qcols = list(queries.columns)
+        cand_rows = []
+        for r in qrows:
+            cover = cover_cells(
+                int(r["qminx"]), int(r["qminy"]),
+                int(r["qmaxx"]), int(r["qmaxy"]),
+                prune_level, cell_buffer,
+            )
+            base = tuple(r[c] for c in qcols)
+            cand_rows.extend(base + (int(c),) for c in cover)
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        cand_schema = StructType(
+            list(queries.schema.fields)
+            + [StructField("__prefix", LongType(), False)]
+        )
+        cand = spark.createDataFrame(cand_rows, cand_schema)
+        rounded = cell_round(f"greatest({cell_col}, 0L)", prune_level)
+        return (
+            geoms.withColumn("__rc", rounded)
+            .join(broadcast(cand), F.col("__rc") == F.col("__prefix"),
+                  "inner")
+            .filter(cond)
+            .drop("__rc", "__prefix")
+        )
+    return geoms.join(broadcast(queries), cond, "inner")
 
 
 def point_in_polygon_join(points: DataFrame, poly_lons, poly_lats,
@@ -96,22 +136,35 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int,
 
 def knn_cell_join(queries, points: DataFrame, k: int,
                   lon_col: str = "lon", lat_col: str = "lat",
-                  id_col: str = "node_id", spark=None) -> DataFrame:
+                  id_col: str = "node_id", spark=None,
+                  hist_level: int = 10) -> DataFrame:
     """kNN via cell-neighborhood expansion (graft-new per north_rule) —
     EXACT: returns the same rows as knn_join (ties by id ascending).
 
-    Strategy: the (cheap, reusable) depth-18 per-cell histogram is collected
-    once; for each query the driver walks UP the quadtree from the query's
-    cell until the enclosing prefix holds >= k candidates, then one
-    batched equi-join on the rounded cell fetches candidates per query and
-    exact distances pick top-k.  Correctness guard: if the k-th neighbor's
-    distance ball pokes outside the candidate prefix's UNBUFFERED bounds,
-    the query escalates one level and reruns — so the output provably
-    equals brute force.  At production scale the histogram is the existing
-    tile-group statistic (a few 100k rows) and each round is one broadcast
-    join — no full scan per query, unlike the brute baseline.
+    Scale design (driver holds O(queries + occupied level-`hist_level`
+    cells), never per-point or per-deep-cell state):
 
-    queries: list of (query_id, qlon, qlat) or a small DataFrame.
+      1. ONE coarse histogram — counts per cell_round(cell, hist_level) —
+         is collected (at planet scale this is the tile-group statistic,
+         ~10^5 rows at level 10, not the tens of millions of depth-18
+         cells).  Prefix counts at any level <= hist_level are exact range
+         sums over it.
+      2. Each query starts at the deepest level <= hist_level whose
+         enclosing prefix holds >= k candidates.
+      3. Escalation rounds are whole-batch DataFrame jobs: candidates =
+         one broadcast equi-join on the rounded cell, top-k by window; the
+         driver collects ONLY a per-query summary (candidate count + k-th
+         distance, O(pending) rows) to run the ball-containment guard —
+         if the k-th neighbor's ball pokes outside the prefix's UNBUFFERED
+         bounds, that query escalates one level.  No result rows cross the
+         driver during the loop.
+      4. The final result is ONE lazily-returned DataFrame computed at the
+         settled per-query levels — provably equal to brute force (level 0
+         degrades to a full scan, and the guard only accepts a prefix that
+         provably contains the true k-ball).
+
+    queries: list of (query_id, qlon, qlat) or a small DataFrame (the
+    query set is a broadcast dimension by contract).
     """
     import numpy as np
 
@@ -133,15 +186,22 @@ def knn_cell_join(queries, points: DataFrame, k: int,
         pts = with_point_cell(points, lon_col, lat_col, "cell", 18)
     pts = pts.cache()
 
-    hist = pts.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
-    hcells = np.array([r["cell"] for r in hist], dtype=np.int64)
+    hist_level = min(int(hist_level), 18)
+    coarse = cell_round("cell", hist_level)
+    hist = (
+        pts.groupBy(coarse.alias("ccell"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    hcells = np.array([r["ccell"] for r in hist], dtype=np.int64)
     hcounts = np.array([r["n"] for r in hist], dtype=np.int64)
     order = np.argsort(hcells)
     hcells, hcounts = hcells[order], hcounts[order]
     csum = np.concatenate([[0], np.cumsum(hcounts)])
 
     def _prefix_count(qcell: int, level: int) -> int:
-        # contiguous range of depth-18 cells under the level-L prefix
+        # contiguous key range of coarse cells under the level-L prefix
+        # (valid for L <= hist_level: coarse keys sort within their prefix)
         lo = int(round_cells(np.array([qcell]), level)[0]) & ~31
         width = 1 << (63 - 2 * level)
         lo_i = np.searchsorted(hcells, lo, side="left")
@@ -152,28 +212,27 @@ def knn_cell_join(queries, points: DataFrame, k: int,
     qlon = np.array([q[1] for q in qrows], dtype=np.int64)
     qlat = np.array([q[2] for q in qrows], dtype=np.int64)
     qcells = point_cells_closed_form(qlon, qlat, 18)
+    qpos = {int(qid): i for i, qid in enumerate(qids)}
 
     levels = {}
     for i, qid in enumerate(qids):
-        lvl = 18
+        lvl = hist_level
         while lvl > 0 and _prefix_count(int(qcells[i]), lvl) < k:
             lvl -= 1
         levels[int(qid)] = lvl
 
-    results = []
-    pending = {int(q): True for q in qids}
-    while pending:
-        batch = []
-        for i, qid in enumerate(qids):
-            if int(qid) not in pending:
-                continue
-            lvl = levels[int(qid)]
+    def _batch_df(id_set):
+        rows = []
+        for qid_ in id_set:
+            i = qpos[qid_]
+            lvl = levels[qid_]
             prefix = int(round_cells(np.array([int(qcells[i])]), lvl)[0])
-            batch.append((int(qid), int(qlon[i]), int(qlat[i]), lvl, prefix))
-        bdf = broadcast(spark.createDataFrame(
-            batch, "query_id long, qlon long, qlat long, lvl int, prefix long"
+            rows.append((qid_, int(qlon[i]), int(qlat[i]), lvl, prefix))
+        return broadcast(spark.createDataFrame(
+            rows, "query_id long, qlon long, qlat long, lvl int, prefix long"
         ))
-        # candidates: points whose cell rounds to the query's prefix
+
+    def _topk(bdf):
         cand = pts.join(
             bdf,
             F.expr(
@@ -183,51 +242,63 @@ def knn_cell_join(queries, points: DataFrame, k: int,
             ),
         )
         d2 = (
-            (F.col(lon_col) - F.col("qlon")) * (F.col(lon_col) - F.col("qlon"))
-            + (F.col(lat_col) - F.col("qlat")) * (F.col(lat_col) - F.col("qlat"))
+            (F.col(lon_col) - F.col("qlon"))
+            * (F.col(lon_col) - F.col("qlon"))
+            + (F.col(lat_col) - F.col("qlat"))
+            * (F.col(lat_col) - F.col("qlat"))
         ).alias("dist2")
         w = Window.partitionBy("query_id").orderBy(
             F.col("dist2").asc(), F.col(id_col).asc()
         )
-        topk = (
-            cand.select("query_id", id_col, d2, "lvl", "prefix",
-                        "qlon", "qlat")
+        return (
+            cand.select("query_id", id_col, d2)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-        ).collect()
+        )
 
-        by_q: dict = {}
-        for r in topk:
-            by_q.setdefault(r["query_id"], []).append(r)
-        for qid_, rows in by_q.items():
-            lvl = rows[0]["lvl"]
-            prefix = rows[0]["prefix"]
-            dk = max(r["dist2"] for r in rows)
+    pending = {int(q) for q in qids}
+    while pending:
+        bdf = _batch_df(pending)
+        # O(pending)-row summary: candidate count + k-th distance per query
+        summary = {
+            r["query_id"]: (r["n"], r["dk"])
+            for r in _topk(bdf)
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("dist2").alias("dk"))
+            .collect()
+        }
+        for qid_ in list(pending):
+            lvl = levels[qid_]
+            if qid_ not in summary:
+                if lvl == 0:
+                    pending.discard(qid_)  # no points at all
+                else:
+                    levels[qid_] = lvl - 1
+                continue
+            n, dk = summary[qid_]
+            i = qpos[qid_]
+            prefix = int(round_cells(np.array([int(qcells[i])]), lvl)[0])
             radius = int(np.ceil(np.sqrt(float(dk))))
             bx = cell_bounds(np.array([prefix]), 0.0)
-            # +/-1 unit margin: cell_bounds rounds to fixed-point, so shrink
-            # the containment test conservatively (escalation is always safe)
+            # +/-1 unit margin: cell_bounds rounds to fixed-point, so
+            # shrink the containment test conservatively (escalation is
+            # always safe)
             ball_inside = (
-                rows[0]["qlon"] - radius >= bx[0][0] + 1
-                and rows[0]["qlat"] - radius >= bx[1][0] + 1
-                and rows[0]["qlon"] + radius <= bx[2][0] - 1
-                and rows[0]["qlat"] + radius <= bx[3][0] - 1
+                int(qlon[i]) - radius >= bx[0][0] + 1
+                and int(qlat[i]) - radius >= bx[1][0] + 1
+                and int(qlon[i]) + radius <= bx[2][0] - 1
+                and int(qlat[i]) + radius <= bx[3][0] - 1
             )
-            if lvl == 0 or (ball_inside and len(rows) == k):
-                results.extend(
-                    (qid_, r["rank"], r[id_col], r["dist2"]) for r in rows
-                )
-                del pending[qid_]
+            if lvl == 0 or (ball_inside and n == k):
+                pending.discard(qid_)
             else:
                 levels[qid_] = lvl - 1
-        # queries with zero candidates at this level also escalate
-        for qid_ in list(pending):
-            if qid_ not in by_q:
-                levels[qid_] = max(levels[qid_] - 1, 0)
 
-    pts.unpersist()
-    return spark.createDataFrame(
-        results, f"query_id long, rank int, {id_col} long, dist2 long"
+    # one final whole-batch pass at the settled levels, returned lazily —
+    # result rows never visit the driver
+    final = _batch_df(sorted(qpos))
+    return _topk(final).select(
+        "query_id", "rank", id_col, "dist2"
     )
 
 

@@ -24,6 +24,7 @@ from .quadtree import (  # noqa: F401
     common_cells,
     common_reduce,
     cell_bounds,
+    cover_cells,
     point_cells_closed_form,
 )
 from .bbox import (  # noqa: F401

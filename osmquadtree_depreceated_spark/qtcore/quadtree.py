@@ -329,6 +329,47 @@ def common_reduce(min_key, max_key, min_depth):
     return np.where(invalid, NULL_QT, ((pa >> shift) << shift) + s_len)
 
 
+def cover_cells(qminx, qminy, qmaxx, qmaxy, level, buffer=0.05):
+    """Cells (ALL depths <= `level`) whose buffered bounds intersect the
+    query box — the cover-expansion that turns a bbox query into an
+    equi-joinable prefix set (the tile-prune of packeddatastore.go:382-425
+    re-expressed for a cell-keyed table).
+
+    Exactness: a geometry's bbox is contained in the buffered bounds of its
+    calculated cell, buffered bounds are monotone under rounding to an
+    ancestor, and the BFS prune is monotone too — so every geometry whose
+    bbox intersects the query has its cell_round(cell, level) key in this
+    set, and the residual bbox test restores exact semantics.  The root is
+    always emitted (any valid box intersects the buffered world), which
+    also catches null/zero cells rounded up to 0.
+
+    Driver-side, O(cells intersecting the box perimeter) per level — a few
+    hundred keys for typical serving boxes at level 8.
+    """
+    out = []
+    frontier = np.array([0], dtype=np.int64)  # root
+    for d in range(int(level) + 1):
+        if frontier.size == 0:
+            break
+        bx = cell_bounds(frontier, buffer)
+        hit = ~(
+            (bx[0] > qmaxx) | (bx[1] > qmaxy)
+            | (bx[2] < qminx) | (bx[3] < qminy)
+        )
+        live = frontier[hit]
+        out.append(live)
+        if d == level:
+            break
+        paths = live & ~_DEPTH_MASK
+        children = (
+            paths[:, None]
+            + (np.arange(4, dtype=np.int64)[None, :] << np.int64(61 - 2 * d))
+            + np.int64(d + 1)
+        ).reshape(-1)
+        frontier = children
+    return np.concatenate(out) if out else np.array([], dtype=np.int64)
+
+
 def cell_bounds(cells, buffer=0.0):
     """cell -> fixed-point bbox, optionally expanded by a relative buffer
     (quadtree.go:139-177).  Returns (minx, miny, maxx, maxy) int64 arrays."""

@@ -25,12 +25,21 @@ from .quadtree import merc as _merc_arr
 EARTH_HALF_CIRCUM = 20037508.3428
 
 
-def _merc_xy(lon: int, lat: int):
-    x = lon * 0.0000001 * EARTH_HALF_CIRCUM / 180.0
+def _merc_xy_arrays(lons, lats):
+    """Full-scale mercator XY for a ring's coordinate arrays.  Uses numpy's
+    transcendentals (not math.*) so the scalar ring path is bit-identical
+    to the vectorized kernel (numpy's SIMD tan/log differ from C libm by
+    ~1 ulp on ~25% of inputs — measured; the op ORDER here mirrors the
+    reference exactly, zorder.go:168-176)."""
+    import numpy as np
+
+    lons = np.asarray(lons, dtype=np.int64)
+    lats = np.asarray(lats, dtype=np.int64)
+    x = lons * 0.0000001 * EARTH_HALF_CIRCUM / 180.0
     y = (
-        math.log(math.tan(math.pi * (1.0 + lat * 0.0000001 / 90.0) / 4.0))
+        np.log(np.tan(np.pi * (1.0 + lats * 0.0000001 / 90.0) / 4.0))
         * 90.0
-        / math.pi
+        / np.pi
         * EARTH_HALF_CIRCUM
         / 90.0
     )
@@ -193,7 +202,7 @@ def ring_area_merc(ring):
     n = len(ring)
     if n < 3:
         return 0.0, False
-    xs, ys = zip(*[_merc_xy(p[1], p[2]) for p in ring])
+    xs, ys = _merc_xy_arrays([p[1] for p in ring], [p[2] for p in ring])
     ss = 0.0
     for i in range(1, n):
         if i == n - 1:
@@ -220,6 +229,97 @@ def polygon_area(poly):
     return total
 
 
+def ring_areas_vectorized(lons_seq, lats_seq):
+    """Vectorized single-ring mercator areas over a batch of ragged rings —
+    the Arrow-kernel replacement for calling polygon_area([ring]) per row.
+
+    Bit-identical to the scalar path per ring: same drop-repeats rule, the
+    same merc transform operation order as _merc_xy, the same triangle-form
+    terms (zorder.go:178-199), and a SEQUENTIAL left-fold accumulation per
+    ring (vectorized ACROSS rings, position-by-position along them, adding
+    exact-identity 0.0 past each ring's end) — numpy's pairwise np.sum
+    would round differently.  Rings that collapse below 4 points after
+    repeat-dropping yield 0.0 (the ValueError path of polygon_area).
+
+    lons_seq / lats_seq: sequences of per-ring int coordinate arrays.
+    Returns float64 areas array.
+    """
+    import numpy as np
+
+    n = len(lons_seq)
+    out = np.zeros(n)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(x) for x in lons_seq), dtype=np.int64, count=n)
+    nonempty = lens > 0
+    if not nonempty.any():
+        return out
+    flat_lon = np.concatenate(
+        [np.asarray(x, dtype=np.int64) for x, m in zip(lons_seq, nonempty)
+         if m]
+    )
+    flat_lat = np.concatenate(
+        [np.asarray(x, dtype=np.int64) for x, m in zip(lats_seq, nonempty)
+         if m]
+    )
+    ne_lens = lens[nonempty]
+    starts = np.concatenate([[0], np.cumsum(ne_lens)[:-1]])
+
+    # drop consecutive coordinate repeats (drop_repeats): raw-predecessor
+    # equality == last-kept equality by induction (dropped points equal the
+    # last kept one)
+    total = int(ne_lens.sum())
+    prev_same = np.zeros(total, dtype=bool)
+    prev_same[1:] = (flat_lon[1:] == flat_lon[:-1]) & (
+        flat_lat[1:] == flat_lat[:-1]
+    )
+    prev_same[starts] = False
+    keep = ~prev_same
+    new_lens = np.add.reduceat(keep.astype(np.int64), starts)
+
+    kl = flat_lon[keep]
+    kt = flat_lat[keep]
+    fx = kl * 0.0000001 * EARTH_HALF_CIRCUM / 180.0
+    fy = (
+        np.log(np.tan(np.pi * (1.0 + kt * 0.0000001 / 90.0) / 4.0))
+        * 90.0
+        / np.pi
+        * EARTH_HALF_CIRCUM
+        / 90.0
+    )
+
+    starts2 = np.concatenate([[0], np.cumsum(new_lens)[:-1]])
+    valid = new_lens >= 4
+    if not valid.any():
+        return out
+    vs = starts2[valid]
+    vl = new_lens[valid]
+    ktotal = int(new_lens.sum())
+
+    # flat general terms: T[i] = x[i] * (y[i+1] - y[i-1]); ring-boundary
+    # positions get overwritten (first term unused, last term special-cased)
+    T = np.zeros(ktotal)
+    if ktotal >= 3:
+        T[1:-1] = fx[1:-1] * (fy[2:] - fy[:-2])
+    # wrap term at each valid ring's last position:
+    # x[0] * (y[1] - y[m-2])
+    T[vs + vl - 1] = fx[vs] * (fy[vs + 1] - fy[vs + vl - 2])
+
+    # sequential per-ring accumulation, vectorized across rings
+    acc = np.zeros(len(vs))
+    maxm = int(vl.max())
+    for j in range(1, maxm):
+        live = j <= vl - 1
+        idx = np.minimum(vs + j, ktotal - 1)
+        acc = acc + np.where(live, T[idx], 0.0)
+
+    areas_valid = np.abs(acc) / 2.0
+    res_ne = np.zeros(len(ne_lens))
+    res_ne[valid] = areas_valid
+    out[nonempty] = res_ne
+    return out
+
+
 # highway ranking for z-order (zorder.go:20-46)
 HIGHWAY_ORDER = {
     "service": 1, "footway": 1, "path": 1, "footpath": 1, "cycleway": 1,
@@ -230,32 +330,45 @@ HIGHWAY_ORDER = {
 }
 
 
+def _is_false(v: str) -> bool:
+    return v.lower() in ("0", "no", "false")
+
+
 def find_zorder(tags: dict) -> int:
-    """Tag-driven z-order (find_zorder, zorder.go:66-121): highway rank,
-    railway=5, layer x10, bridge/tunnel +/-1, explicit z_order override."""
+    """Tag-driven z-order (find_zorder, zorder.go:60-119) — exact port,
+    order-independent by construction: highway rank applies only when > 1
+    and MAXes into zo, railway MAXes 5, layer values ACCUMULATE into l,
+    bridge/tunnel are +/-1 on l unless explicitly false (!is_false), an
+    explicit z_order tag replaces zo (unparseable -> the reference returns
+    an error and callers fall back to 0), and l*10 is added LAST — i.e.
+    after the override too."""
     zo = 0
-    layer = 0
+    l = 0
     has_zo = None
     for k, v in tags.items():
         if k == "z_order":
             has_zo = v
         if k == "highway":
-            zo = HIGHWAY_ORDER.get(v, 0)
+            z = HIGHWAY_ORDER.get(v, 0)
+            if z > 1 and z > zo:
+                zo = z
         elif k == "railway":
-            zo = 5
+            if zo < 5:
+                zo = 5
         elif k == "layer":
             try:
-                layer = int(v)
+                l += int(v)
             except ValueError:
-                layer = 0
-        elif k == "bridge" and v.lower() in ("1", "yes", "true"):
-            zo += 1
-        elif k == "tunnel" and v.lower() in ("1", "yes", "true"):
-            zo -= 1
-    zo += layer * 10
-    if has_zo is not None:
+                pass
+        elif k == "bridge":
+            if not _is_false(v):
+                l += 1
+        elif k == "tunnel":
+            if not _is_false(v):
+                l -= 1
+    if has_zo is not None and has_zo != "":
         try:
-            return int(has_zo)
+            zo = int(has_zo)
         except ValueError:
-            pass
-    return zo
+            return 0
+    return zo + l * 10

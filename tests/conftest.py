@@ -23,4 +23,8 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir():
-    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    d = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    # export so sf-dependent lazy oracle builders (gate.q25_oracle_build)
+    # freeze their literals against the SAME parquet the tests run on
+    os.environ["SPARK_GRAFT_TEST_SF_DIR"] = d
+    return d

@@ -83,11 +83,125 @@ class TestRingAlgebra:
         assert a_out == pytest.approx((111_319.49) ** 2, rel=0.02)
 
     def test_zorder_rules(self):
+        # exact zorder.go:60-119 semantics: rank-1 highways never lift zo
+        # (z > 1 required), bridge/tunnel move the LAYER counter (+/-1,
+        # "anything not explicitly false"), layer values accumulate, the
+        # z_order override replaces zo but l*10 is still added after
         assert R.find_zorder({"highway": "motorway"}) == 9
-        assert R.find_zorder({"highway": "service", "bridge": "yes"}) == 2
-        assert R.find_zorder({"railway": "rail", "tunnel": "true"}) == 4
+        assert R.find_zorder({"highway": "service", "bridge": "yes"}) == 10
+        assert R.find_zorder({"highway": "service"}) == 0  # rank 1 ignored
+        assert R.find_zorder({"railway": "rail", "tunnel": "true"}) == -5
         assert R.find_zorder({"highway": "primary", "layer": "2"}) == 27
         assert R.find_zorder({"z_order": "42", "highway": "path"}) == 42
+        assert R.find_zorder({"z_order": "42", "layer": "1"}) == 52
+        assert R.find_zorder({"z_order": "nope"}) == 0  # parse error -> 0
+        assert R.find_zorder({"highway": "motorway", "railway": "x"}) == 9
+        assert R.find_zorder({"highway": "residential", "railway": "x"}) == 5
+        assert R.find_zorder({"bridge": "maybe"}) == 10  # !is_false
+        assert R.find_zorder({"bridge": "no"}) == 0
+
+    def test_zorder_native_matches_scalar(self, spark):
+        from osmquadtree_depreceated_spark.operators.geometry import (
+            with_zorder,
+        )
+
+        cases = [
+            {"highway": "motorway"}, {"highway": "service", "bridge": "yes"},
+            {"highway": "service"}, {"railway": "rail", "tunnel": "true"},
+            {"highway": "primary", "layer": "2"},
+            {"z_order": "42", "highway": "path"},
+            {"z_order": "42", "layer": "1"}, {"z_order": "nope"},
+            {"highway": "motorway", "railway": "x"},
+            {"highway": "residential", "railway": "x"},
+            {"bridge": "maybe"}, {"bridge": "no"}, {},
+            {"layer": "-3", "tunnel": "1"}, {"z_order": ""},
+        ]
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cases)],
+            "id long, tags map<string,string>",
+        )
+        got = {r["id"]: r["z_order"]
+               for r in with_zorder(df).collect()}
+        for i, c in enumerate(cases):
+            assert got[i] == R.find_zorder(c), c
+
+
+class TestVectorizedArea:
+    def test_matches_scalar_polygon_area(self):
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        lons_seq, lats_seq, want = [], [], []
+        for trial in range(300):
+            m = int(rng.integers(2, 12))
+            lons = rng.integers(-10_000_000, 10_000_000, m)
+            lats = rng.integers(500_000_000, 520_000_000, m)
+            if trial % 3 == 0:  # close the ring
+                lons[-1], lats[-1] = lons[0], lats[0]
+            if trial % 5 == 0 and m > 3:  # consecutive repeats
+                lons[1], lats[1] = lons[0], lats[0]
+            lons_seq.append(lons)
+            lats_seq.append(lats)
+            ring = [(i, int(a), int(b))
+                    for i, (a, b) in enumerate(zip(lons, lats))]
+            try:
+                want.append(R.polygon_area([ring]))
+            except ValueError:
+                want.append(0.0)
+        got = R.ring_areas_vectorized(lons_seq, lats_seq)
+        np.testing.assert_array_equal(got, np.array(want))  # bit-identical
+
+
+class TestTagRewrite:
+    CASES = [
+        {"highway": "primary", "name": "x", "randomkey": "v"},
+        {"building": "yes"},
+        {"area": "yes", "foo": "bar"},
+        {"area": "no"},
+        {"boundary": "administrative"},
+        # note: native fold emits values unescaped (documented: equals
+        # json.dumps only for quote/backslash-free values, the fixture model)
+        {"other_tags": "prior", "zzz": "1"},
+        {"other_tags": "old", "name": "n"},
+        {"name": "plain"},
+        {},
+        {"natural": "water", "w1": "a", "w2": "b"},
+    ]
+
+    def test_native_way_rewrite_matches_scalar(self, spark):
+        from osmquadtree_depreceated_spark.operators.geometry import (
+            with_tag_rewrite,
+        )
+        from osmquadtree_depreceated_spark.qtcore import tags as T
+
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(self.CASES)],
+            "id long, tags map<string,string>",
+        )
+        rows = {r["id"]: r for r in with_tag_rewrite(df, "way").collect()}
+        for i, c in enumerate(self.CASES):
+            zo, isp, newtags = T.way_tags_filter(c)
+            r = rows[i]
+            assert dict(r["tags_out"] or {}) == newtags, c
+            assert r["is_poly"] == isp, c
+            assert r["z_order"] == zo, c
+
+    def test_native_node_rewrite_matches_scalar(self, spark):
+        from osmquadtree_depreceated_spark.operators.geometry import (
+            with_tag_rewrite,
+        )
+        from osmquadtree_depreceated_spark.qtcore import tags as T
+
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(self.CASES)],
+            "id long, tags map<string,string>",
+        )
+        rows = {r["id"]: r for r in with_tag_rewrite(df, "node").collect()}
+        for i, c in enumerate(self.CASES):
+            isfeat, newtags = T.node_tags_filter(c)
+            r = rows[i]
+            assert dict(r["tags_out"] or {}) == newtags, c
+            assert r["is_feature"] == isfeat, c
 
 
 @pytest.fixture(scope="module")
@@ -184,3 +298,78 @@ class TestSparkGeometry:
             "rel_id long, ref long, role string",
         )
         assert assemble_multipolygons(members, wc).count() == 0
+
+    def test_finishrel_tag_mergeback_and_deletions(self, spark, geo_data):
+        from osmquadtree_depreceated_spark.operators.geometry import (
+            apply_outer_tag_deletions,
+        )
+
+        nodes, way_refs = geo_data
+        wc = add_way_coords(way_refs, nodes)
+        # ways 4+5 form one closed ring; way 4 carries a natural tag that
+        # the relation inherits -> duplicated tag deleted from way 4
+        members = spark.createDataFrame(
+            [(100, 0, 4, "outer"), (100, 1, 5, "outer")],
+            "rel_id long, mpos long, ref long, role string",
+        )
+        way_tags = spark.createDataFrame(
+            [(4, {"natural": "water", "name": "x"}),
+             (5, {"highway": "primary"})],
+            "way_id long, tags map<string,string>",
+        )
+        rel_tags = spark.createDataFrame(
+            [(100, {"type": "multipolygon"})],
+            "rel_id long, tags map<string,string>",
+        )
+        out = assemble_multipolygons(members, wc, rel_tags=rel_tags,
+                                     way_tags=way_tags)
+        rows = out.collect()
+        assert len(rows) == 1
+        r = rows[0]
+        got_tags = dict(r["tags"])
+        # outer tags Add: natural=water + name=x + highway=primary merged
+        # into {type: multipolygon}; wayTags keeps all (style keys)
+        assert got_tags["natural"] == "water"
+        assert got_tags["type"] == "multipolygon"
+        assert r["geom_type"] == GEOM_POLYGON
+        dels = {(d["way_id"], d["key"]) for d in r["del_pairs"]}
+        # every (k,v) the final relation shares with an outer way
+        assert (4, "natural") in dels and (4, "name") in dels
+        assert (5, "highway") in dels
+
+        # second pass: way 4 loses natural+name -> no feature tag left ->
+        # dropped; way 5 loses highway -> dropped too
+        way_geoms = way_tags
+        kept = apply_outer_tag_deletions(way_geoms, out).collect()
+        assert kept == []
+        # a way with an extra feature tag survives with tags subtracted
+        way_tags2 = spark.createDataFrame(
+            [(4, {"natural": "water", "amenity": "cafe"})],
+            "way_id long, tags map<string,string>",
+        )
+        kept2 = apply_outer_tag_deletions(way_tags2, out).collect()
+        assert len(kept2) == 1
+        assert dict(kept2[0]["tags"]) == {"amenity": "cafe"}
+
+    def test_boundary_relation_skips_tag_inheritance(self, spark, geo_data):
+        nodes, way_refs = geo_data
+        wc = add_way_coords(way_refs, nodes)
+        members = spark.createDataFrame(
+            [(100, 0, 1, "outer")],
+            "rel_id long, mpos long, ref long, role string",
+        )
+        way_tags = spark.createDataFrame(
+            [(1, {"natural": "water"})], "way_id long, tags map<string,string>"
+        )
+        rel_tags = spark.createDataFrame(
+            [(100, {"boundary": "administrative"})],
+            "rel_id long, tags map<string,string>",
+        )
+        rows = assemble_multipolygons(
+            members, wc, rel_tags=rel_tags, way_tags=way_tags
+        ).collect()
+        assert len(rows) == 1
+        tags = dict(rows[0]["tags"])
+        assert "natural" not in tags  # boundary: no outer-tag inheritance
+        assert tags["boundary"] == "administrative"
+        assert rows[0]["del_pairs"] == []  # and no deletions either

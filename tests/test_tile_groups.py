@@ -60,6 +60,27 @@ class TestDriverAlgorithm:
         assert sum(t for _, t in groups) == n
 
 
+class TestIndependentReimplementation:
+    def test_cross_check_engine_vs_oracle_impl(self):
+        """The engine's arena/flat-DFS port and the oracle's recursive
+        dict-based reimplementation (oracle/qtgroups_ref.py) must produce
+        identical group sets on varied histograms — this is what makes the
+        q25 oracle independent."""
+        from osmquadtree_depreceated_spark.oracle.qtgroups_ref import (
+            find_qt_groups_ref,
+        )
+
+        for n, target, hotspot in [
+            (30000, 800, True), (30000, 800, False),
+            (5000, 400, True), (2000, 150, True), (1500, 5000, False),
+        ]:
+            cells, counts, total = _histogram(n, hotspot)
+            a = find_qt_groups(cells, counts, target=target, minimum=1)
+            b = find_qt_groups_ref(cells, counts, target=target, minimum=1)
+            assert sorted(a) == sorted(b), (n, target, hotspot)
+            assert sum(t for _, t in b) == total
+
+
 class TestDistributedAssignment:
     def test_assignment_matches_group_totals(self, spark, sf_dir):
         tpch.load_base_tables(spark, sf_dir)
