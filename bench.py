@@ -174,9 +174,45 @@ def _timed_run(cpus: int, amplify: int) -> tuple[dict, float, int]:
         n_ways = run_pipeline(spark, nodes, way_refs, gate.QUERY_BOXES, timings)
         secs = round(time.time() - t0, 3)
         elements = n_nodes + n_refs + n_ways
+        # serving-layout stages, timed separately (not part of the headline
+        # pipeline seconds, which stays comparable across rounds): write the
+        # way-geometry table partitioned on cell_round(cell, 6), then serve
+        # the 8 query boxes through partition-pruned scans (file skipping)
+        _partitioned_serving(spark, nodes, way_refs, timings)
         return timings, secs, elements
     finally:
         spark.stop()
+
+
+def _partitioned_serving(spark, nodes, way_refs, timings: dict):
+    import shutil
+    import tempfile
+
+    from osmquadtree_depreceated_spark import gate
+    from osmquadtree_depreceated_spark.operators.calcqts import (
+        way_bboxes,
+        way_cells,
+    )
+    from osmquadtree_depreceated_spark.plans.partitioned import (
+        pruned_tile_scan,
+        write_cell_partitioned,
+    )
+
+    work = tempfile.mkdtemp(prefix="bench_parts_")
+    path = os.path.join(work, "way_geoms")
+    try:
+        wb = way_bboxes(way_refs, nodes, salt_buckets=8)
+        geoms = way_cells(wb, 0.05, 18).join(wb, "way_id")
+        t = time.time()
+        write_cell_partitioned(geoms, path, level=6)
+        timings["partitioned_write"] = round(time.time() - t, 3)
+        t = time.time()
+        for b in gate.QUERY_BOXES:
+            _force(pruned_tile_scan(spark, path, b[1], b[2], b[3], b[4],
+                                    level=6))
+        timings["pruned_tile_serving_8q"] = round(time.time() - t, 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def main():

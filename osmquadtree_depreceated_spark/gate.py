@@ -1165,6 +1165,99 @@ def q27_oracle() -> str:
             f"as t({', '.join(names)})")
 
 
+# deterministic node-change batch (dialect-neutral SQL over the nodes view):
+# modify every node_id%10==3, delete %10==7, create fresh ids for %10==1
+_NODE_CHANGES_SQL = """
+select node_id, cast(1 as bigint) as seq, 'modify' as change_type,
+       lon + 337 as lon, lat - 221 as lat
+from nodes where node_id % 10 = 3
+union all
+select node_id, cast(1 as bigint), 'delete',
+       cast(null as bigint), cast(null as bigint)
+from nodes where node_id % 10 = 7
+union all
+select node_id + 10000000, cast(1 as bigint), 'create',
+       lon - 123, lat + 456
+from nodes where node_id % 10 = 1
+"""
+
+_MERGED_NODES_CTE = """
+merged_nodes as (
+  select node_id, lon, lat from nodes
+  where node_id % 10 <> 3 and node_id % 10 <> 7
+  union all
+  select node_id, lon + 337 as lon, lat - 221 as lat
+  from nodes where node_id % 10 = 3
+  union all
+  select node_id + 10000000 as node_id, lon - 123 as lon, lat + 456 as lat
+  from nodes where node_id % 10 = 1
+)"""
+
+
+def q33_update_tiles(spark, sf_dir) -> DataFrame:
+    """CalcUpdateTiles end-to-end (update/update.go:343-540): apply a
+    node-change batch, recompute cells for ONLY the affected ways/nodes,
+    merge into the cell tables.  The oracle is a FULL recompute over the
+    merged input in DuckDB — incremental must equal it exactly, which is
+    the operator's entire contract."""
+    _prep(spark, sf_dir)
+    from .operators.update import calc_update_tiles
+
+    nodes = spark.table("nodes")
+    way_refs = spark.table("way_refs")
+    wc = way_cells(_way_bbox_df(spark), 0.05, 18)
+    nc = node_cells(nodes, way_refs, wc, 0.05, 18)
+    changes = spark.sql(_NODE_CHANGES_SQL)
+    out = calc_update_tiles(nodes, way_refs, wc, nc, changes)
+    return (
+        out["way_cells"].select(
+            F.lit("w").alias("etype"), F.col("way_id").alias("id"), "cell"
+        )
+        .unionByName(
+            out["node_cells"].select(
+                F.lit("n").alias("etype"), F.col("node_id").alias("id"),
+                "cell",
+            )
+        )
+    )
+
+
+def q33_oracle() -> str:
+    fin = sqlgen.common_finish_sql(DUCK, "p.mn", "p.mx", "p.md")
+    fb_src = ("select node_id, lon as minx, lat as miny, "
+              "lon + 1 as maxx, lat + 1 as maxy from merged_nodes")
+    return (
+        tpch.synth_cte_prefix("nodes", "way_refs")
+        + ",\n" + _MERGED_NODES_CTE[1:] + """,
+wb2 as (
+  select way_id, min(n.lon) as minx, min(n.lat) as miny,
+         max(n.lon) as maxx, max(n.lat) as maxy
+  from way_refs w join merged_nodes n on w.ref = n.node_id
+  group by way_id
+),
+""" + calculate_cte_fragments("select * from wb2", "way_id", 0.05, 18,
+                              prefix="uw")
+        + ",\n"
+        + calculate_cte_fragments(fb_src, "node_id", 0.05, 18, prefix="uf")
+        + """,
+parent2 as (
+  select w.ref as node_id,
+         min((case when c.cell >= 0 then c.cell end) & (-32)) as mn,
+         max((case when c.cell >= 0 then c.cell end) & (-32)) as mx,
+         min((case when c.cell >= 0 then c.cell end) & 31) as md
+  from way_refs w join uw_cells c using (way_id)
+  group by w.ref
+)
+select 'w' as etype, way_id as id, cell from uw_cells
+union all
+select 'n' as etype, n.node_id as id,
+       coalesce(""" + fin + """, f.cell) as cell
+from merged_nodes n
+left join parent2 p on n.node_id = p.node_id
+join uf_cells f on n.node_id = f.node_id"""
+    )
+
+
 # deterministic synthesized node tags — dialect-neutral pieces so both
 # engines derive the same tag set per node
 _NODE_TAGS_CASES = {
@@ -1447,6 +1540,77 @@ where min_admin is not null or coalesce(routes, '') <> ''"""
     )
 
 
+def q35_wkb_roundtrip(spark, sf_dir) -> DataFrame:
+    """WKB sink (geometryimpl.go:279-380): way geometries encode to
+    big-endian WKB, the gate hashes the structural header bytes (hex) and
+    the encode->decode round-trip of the endpoint coordinates; the oracle
+    computes all of it arithmetically from the source tables."""
+    _prep(spark, sf_dir)
+    from .functions.wkb import parse_wkb_udf, wkb_udf
+    from .operators.geometry import add_way_coords, make_way_geometries
+
+    wc = add_way_coords(spark.table("way_refs"), spark.table("nodes"))
+    g = make_way_geometries(wc, way_tags=None)
+    enc = g.select(
+        "way_id",
+        wkb_udf()(F.col("geom_type"), "lons", "lats").alias("wkb"),
+    )
+    dec = parse_wkb_udf()
+    out = enc.select(
+        "way_id",
+        F.length("wkb").alias("wkb_len"),
+        F.lower(F.hex(F.expr("substring(wkb, 1, 9)"))).alias("hdr_hex"),
+        dec("wkb").alias("d"),
+    )
+    return out.select(
+        "way_id", "wkb_len", "hdr_hex",
+        F.col("d.geom_type").alias("geom_type"),
+        F.col("d.n_pts").alias("n_pts"),
+        F.col("d.first_x").alias("first_x"),
+        F.col("d.first_y").alias("first_y"),
+        F.col("d.last_x").alias("last_x"),
+        F.col("d.last_y").alias("last_y"),
+    )
+
+
+def q35_oracle() -> str:
+    return (
+        tpch.synth_cte_prefix("nodes", "way_refs")
+        + """,
+pts as (
+  select w.way_id, w.pos, w.ref, n.lon, n.lat,
+         row_number() over (partition by w.way_id order by w.pos, w.ref)
+           as rn,
+         count(*) over (partition by w.way_id) as np
+  from way_refs w join nodes n on w.ref = n.node_id
+),
+ends as (
+  select way_id, np,
+         min(case when rn = 1 then ref end) as first_ref,
+         min(case when rn = np then ref end) as last_ref,
+         min(case when rn = 1 then lon end) as flon,
+         min(case when rn = 1 then lat end) as flat,
+         min(case when rn = np then lon end) as llon,
+         min(case when rn = np then lat end) as llat
+  from pts group by way_id, np
+),
+g as (
+  select way_id, np, flon, flat, llon, llat,
+         case when np >= 3 and first_ref = last_ref then 3 else 2 end as gt
+  from ends
+)
+select way_id,
+  cast(case when gt = 3 then 13 + 16 * np else 9 + 16 * np end as int)
+    as wkb_len,
+  case when gt = 3 then '000000000300000001'
+       else '0000000002' || printf('%08x', np) end as hdr_hex,
+  cast(gt as int) as geom_type, cast(np as int) as n_pts,
+  flon * 1e-7 as first_x, flat * 1e-7 as first_y,
+  llon * 1e-7 as last_x, llat * 1e-7 as last_y
+from g"""
+    )
+
+
 # --------------------------------------------------------------- registry
 
 GATE_QUERIES = {
@@ -1482,7 +1646,9 @@ GATE_QUERIES = {
     "q30_media_features": q30_media_features,
     "q31_node_parent": q31_node_parent,
     "q32_relation_range": q32_relation_range,
+    "q33_update_tiles": q33_update_tiles,
     "q34_node_points": q34_node_points,
+    "q35_wkb_roundtrip": q35_wkb_roundtrip,
 }
 
 class _LazyOracles(dict):
@@ -1554,7 +1720,9 @@ GATE_ORACLES = _LazyOracles({
     "q30_media_features": q30_oracle(),
     "q31_node_parent": q31_oracle(),
     "q32_relation_range": q32_oracle(),
+    "q33_update_tiles": q33_oracle(),
     "q34_node_points": q34_oracle(),
+    "q35_wkb_roundtrip": q35_oracle(),
 })
 
 

@@ -178,10 +178,32 @@ def find_qt_groups(cells, counts, target: int = 8000, minimum: int = 1,
 
 def tile_groups_df(spark, cell_counts: DataFrame, target: int = 8000,
                    minimum: int = 1, cell_col: str = "cell",
-                   count_col: str = "n") -> DataFrame:
-    """Collect the (small) histogram, group on the driver, return the group
-    table as a DataFrame (group_cell, group_total)."""
-    pdf = cell_counts.select(cell_col, count_col).toPandas()
+                   count_col: str = "n",
+                   depth_cap: int | None = None) -> DataFrame:
+    """Collect the histogram, group on the driver, return the group table
+    as a DataFrame (group_cell, group_total).
+
+    `depth_cap`: pre-aggregate the histogram to cell_round(cell, cap)
+    BEFORE collecting — the planet-scale guard.  The raw depth-18 histogram
+    is 10^7-10^8 distinct cells (the Go arena handles that; a Python node
+    per insert does not); capped at 14 the driver sees at most 4^14 ≈ 2.7e8
+    THEORETICAL but in practice the occupied-cell count, typically ~10^5-6,
+    and groups can simply never split below the cap — harmless whenever
+    target >> per-cap-cell counts.  None (default) keeps the reference's
+    exact full-depth behavior for parity-sensitive uses."""
+    src = cell_counts
+    if depth_cap is not None:
+        from ..functions.cells import cell_round
+
+        src = (
+            cell_counts.select(
+                cell_round(cell_col, int(depth_cap)).alias(cell_col),
+                F.col(count_col),
+            )
+            .groupBy(cell_col)
+            .agg(F.sum(count_col).alias(count_col))
+        )
+    pdf = src.select(cell_col, count_col).toPandas()
     groups = find_qt_groups(pdf[cell_col].values, pdf[count_col].values,
                             target, minimum)
     return spark.createDataFrame(

@@ -23,6 +23,138 @@ CT_MODIFY = "modify"
 CT_CREATE = "create"
 
 
+def calc_update_tiles(nodes: DataFrame, way_refs: DataFrame,
+                      way_cells_df: DataFrame, node_cells_df: DataFrame,
+                      node_changes: DataFrame, buffer: float = 0.05,
+                      max_level: int = 18, group_level: int = 12,
+                      store=None, batch_id: str | None = None) -> dict:
+    """CalcUpdateTiles end-to-end (update/update.go:343-540 +
+    locationscache FindTiles): apply a node-change batch and recompute
+    cells for ONLY the affected elements, producing tables identical to a
+    full recompute over the merged input (the q33 oracle checks exactly
+    that).
+
+    Dataflow (every step a semi/anti-join or aggregation — the change
+    batch is tiny relative to the base, so each stage touches only the
+    affected partitions; with cell-partitioned snapshot tables the
+    anti/union merge is an Iceberg MERGE INTO):
+
+      1. merged nodes      = Delete/Modify/Create semantics (mergechange.go)
+      2. affected ways     = ways referencing any changed node (FindTiles'
+                             id -> tile lookup, here id -> way semi-join)
+      3. their cells       = bbox over merged locations -> buffered descent
+                             (update.go:412-457); ways left with no nodes
+                             drop (matching the full-recompute pipeline)
+      4. affected nodes    = changed nodes + every node of an affected way
+                             (update.go:459-472 nqts)
+      5. their cells       = Common over parent-way cells from the MERGED
+                             way-cell table, point-box fallback
+      6. merged cell tables = old (anti-join affected) UNION new
+      7. affected tiles    = distinct cell_round(old + new cells of touched
+                             elements, group_level) — the tile set a tiled
+                             store must rewrite
+
+    node_changes: (node_id, seq, change_type in delete/modify/create, lon,
+    lat).  Returns dict(nodes, way_cells, node_cells, affected_ways,
+    affected_nodes, affected_tiles).  With `store`, the merged cell tables
+    commit as snapshot stages way_cells@{batch_id} / node_cells@{batch_id}
+    (resumable; plans/lineage.py).
+    """
+    from ..functions.cells import cell_round
+    from .calcqts import node_cells as _node_cells
+    from .calcqts import way_bboxes, way_cells as _way_cells
+
+    merged_nodes = merge_changes(
+        nodes, node_changes, "node_id", val_cols=("lon", "lat")
+    )
+    changed = latest_version(node_changes, ["node_id"], [("seq", "desc")])
+    changed_ids = changed.select("node_id").distinct()
+    deleted_ids = (
+        changed.filter(F.col("change_type") == CT_DELETE)
+        .select("node_id").distinct()
+    )
+
+    affected_ways = (
+        way_refs.join(
+            changed_ids, way_refs["ref"] == changed_ids["node_id"],
+            "left_semi",
+        )
+        .select("way_id")
+        .distinct()
+    )
+    aff_refs = way_refs.join(affected_ways, "way_id", "left_semi")
+    new_wc = _way_cells(
+        way_bboxes(aff_refs, merged_nodes, salt_buckets=8),
+        buffer, max_level,
+    )
+    merged_wc = (
+        way_cells_df.join(affected_ways, "way_id", "left_anti")
+        .unionByName(new_wc)
+    )
+
+    affected_nodes = (
+        aff_refs.select(F.col("ref").alias("node_id"))
+        .unionByName(changed_ids)
+        .distinct()
+        .join(deleted_ids, "node_id", "left_anti")
+    )
+    # parents of affected nodes only; Common over MERGED way cells
+    parent_refs = way_refs.join(
+        affected_nodes, way_refs["ref"] == affected_nodes["node_id"],
+        "left_semi",
+    )
+    new_nc = _node_cells(
+        merged_nodes.join(affected_nodes, "node_id", "left_semi"),
+        parent_refs, merged_wc, buffer, max_level,
+    )
+    merged_nc = (
+        node_cells_df.join(
+            affected_nodes.unionByName(deleted_ids).distinct(),
+            "node_id", "left_anti",
+        )
+        .unionByName(new_nc)
+    )
+
+    old_cells = (
+        way_cells_df.join(affected_ways, "way_id", "left_semi")
+        .select("cell")
+        .unionByName(
+            node_cells_df.join(
+                changed_ids.unionByName(
+                    affected_nodes.select("node_id")
+                ).distinct(),
+                "node_id", "left_semi",
+            ).select("cell")
+        )
+    )
+    new_cells = new_wc.select("cell").unionByName(new_nc.select("cell"))
+    affected_tiles = (
+        old_cells.unionByName(new_cells)
+        .filter(F.col("cell") >= 0)
+        .select(cell_round("cell", group_level).alias("tile_cell"))
+        .distinct()
+    )
+
+    out = {
+        "nodes": merged_nodes,
+        "way_cells": merged_wc,
+        "node_cells": merged_nc,
+        "affected_ways": affected_ways,
+        "affected_nodes": affected_nodes,
+        "affected_tiles": affected_tiles,
+    }
+    if store is not None:
+        bid = batch_id or "b1"
+        spark = nodes.sparkSession
+        out["way_cells"] = store.run_stage(
+            spark, f"way_cells@{bid}", lambda: merged_wc
+        )
+        out["node_cells"] = store.run_stage(
+            spark, f"node_cells@{bid}", lambda: merged_nc
+        )
+    return out
+
+
 def latest_version(df: DataFrame, key_cols, order_cols) -> DataFrame:
     """Newest row per key (filterLastObj, update.go:69-110).  order_cols are
     (column, 'asc'|'desc') pairs; add a unique tiebreaker for determinism."""

@@ -81,6 +81,36 @@ class TestIndependentReimplementation:
             assert sum(t for _, t in b) == total
 
 
+class TestDepthCap:
+    def test_depth_cap_conserves_and_bounds_driver_rows(self, spark):
+        cells, counts, n = _histogram(20000)
+        import pandas as pd
+
+        hist = spark.createDataFrame(
+            pd.DataFrame({"cell": cells, "n": counts})
+        )
+        capped = tile_groups_df(spark, hist, target=800, minimum=1,
+                                depth_cap=12)
+        got = {r["group_cell"]: r["group_total"] for r in capped.collect()}
+        assert sum(got.values()) == n  # conservation survives the cap
+        assert all((g & 31) <= 12 for g in got)
+        # equals grouping the capped histogram directly
+        want = dict(
+            find_qt_groups(
+                round_cells(cells, 12), counts, target=800, minimum=1
+            )
+        )
+        # (duplicate rounded cells must be pre-summed like the operator does)
+        import collections
+
+        agg = collections.Counter()
+        for c, w in zip(round_cells(cells, 12), counts):
+            agg[int(c)] += int(w)
+        want = dict(find_qt_groups(list(agg.keys()), list(agg.values()),
+                                   target=800, minimum=1))
+        assert got == want
+
+
 class TestDistributedAssignment:
     def test_assignment_matches_group_totals(self, spark, sf_dir):
         tpch.load_base_tables(spark, sf_dir)

@@ -1,0 +1,104 @@
+"""CalcUpdateTiles: incremental recompute == full recompute, affected-set
+minimality, tile output, and snapshot-store commit."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmquadtree_depreceated_spark.operators.calcqts import (
+    node_cells,
+    way_bboxes,
+    way_cells,
+)
+from osmquadtree_depreceated_spark.operators.update import calc_update_tiles
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    nodes = spark.createDataFrame(
+        [
+            (1, -5_000_000, 505_000_000), (2, -4_900_000, 505_100_000),
+            (3, 3_000_000, 515_000_000), (4, 3_100_000, 515_100_000),
+            (5, 8_000_000, 511_000_000), (6, 8_100_000, 511_100_000),
+            (7, 0, 510_000_000),
+        ],
+        "node_id long, lon long, lat long",
+    )
+    way_refs = spark.createDataFrame(
+        [
+            (10, 1, 1), (10, 2, 2),          # way 10: nodes 1,2
+            (11, 1, 3), (11, 2, 4),          # way 11: nodes 3,4
+            (12, 1, 5), (12, 2, 6),          # way 12: nodes 5,6
+            (13, 1, 7), (13, 2, 7),          # way 13: node 7 only
+        ],
+        "way_id long, pos long, ref long",
+    )
+    wc = way_cells(way_bboxes(way_refs, nodes), 0.05, 18)
+    nc = node_cells(nodes, way_refs, wc, 0.05, 18)
+    return nodes, way_refs, wc, nc
+
+
+def _full(spark, nodes, way_refs):
+    wc = way_cells(way_bboxes(way_refs, nodes), 0.05, 18)
+    nc = node_cells(nodes, way_refs, wc, 0.05, 18)
+    return (
+        {r["way_id"]: r["cell"] for r in wc.collect()},
+        {r["node_id"]: r["cell"] for r in nc.collect()},
+    )
+
+
+def test_incremental_equals_full_and_touches_minimum(spark, base):
+    nodes, way_refs, wc, nc = base
+    changes = spark.createDataFrame(
+        [
+            (1, 1, "modify", -5_500_000, 505_500_000),
+            (7, 1, "delete", None, None),
+            (100, 1, "create", 9_000_000, 519_000_000),
+        ],
+        "node_id long, seq long, change_type string, lon long, lat long",
+    )
+    out = calc_update_tiles(nodes, way_refs, wc, nc, changes)
+
+    # affected sets are minimal: way 10 (node 1), way 13 (node 7); nodes
+    # 1 (modified), 2 (peer in way 10), 100 (created); 7 deleted
+    aff_w = {r["way_id"] for r in out["affected_ways"].collect()}
+    assert aff_w == {10, 13}
+    aff_n = {r["node_id"] for r in out["affected_nodes"].collect()}
+    assert aff_n == {1, 2, 100}
+
+    merged_nodes = out["nodes"]
+    got_w = {r["way_id"]: r["cell"] for r in out["way_cells"].collect()}
+    got_n = {r["node_id"]: r["cell"] for r in out["node_cells"].collect()}
+    want_w, want_n = _full(spark, merged_nodes, way_refs)
+    assert got_w == want_w
+    assert got_n == want_n
+    # way 13 lost its only node -> dropped, like the full recompute
+    assert 13 not in got_w
+    assert 7 not in got_n and 100 in got_n
+
+    tiles = {r["tile_cell"] for r in out["affected_tiles"].collect()}
+    assert len(tiles) >= 1
+    # every affected tile is a depth-<=12 prefix
+    assert all((t & 31) <= 12 for t in tiles)
+
+
+def test_store_commit_and_resume(spark, base, tmp_path):
+    from osmquadtree_depreceated_spark.plans.lineage import SnapshotStore
+
+    nodes, way_refs, wc, nc = base
+    changes = spark.createDataFrame(
+        [(3, 1, "modify", 3_200_000, 515_200_000)],
+        "node_id long, seq long, change_type string, lon long, lat long",
+    )
+    store = SnapshotStore(str(tmp_path))
+    out = calc_update_tiles(nodes, way_refs, wc, nc, changes,
+                            store=store, batch_id="b42")
+    assert store.has("way_cells@b42") and store.has("node_cells@b42")
+    # resume: a second run reads the committed snapshot (no recompute)
+    again = calc_update_tiles(nodes, way_refs, wc, nc, changes,
+                              store=store, batch_id="b42")
+    assert (
+        {tuple(r) for r in again["way_cells"].collect()}
+        == {tuple(r) for r in out["way_cells"].collect()}
+    )
+    rows = store.lineage_rows("way_cells@b42")
+    assert rows and all(r["row_count"] >= 0 for r in rows)
