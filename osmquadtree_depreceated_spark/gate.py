@@ -1611,6 +1611,42 @@ from g"""
     )
 
 
+def q36_partitioned_scan(spark, sf_dir) -> DataFrame:
+    """Partial (pruned) scan over a REAL cell-partitioned table: the
+    way-geometry table is written partitionBy(cell_round(cell, 6)), then a
+    tile query reads only the cover partitions (file skipping — the
+    distributed analogue of the header-block index seek,
+    readfile/partial.go:60-77).  Oracle: the plain bbox filter — pruning
+    must not change results."""
+    _prep(spark, sf_dir)
+    import os
+    import tempfile
+
+    from .plans.partitioned import pruned_tile_scan, write_cell_partitioned
+
+    wb = _way_bbox_df(spark)
+    geoms = wb.join(way_cells(wb, 0.05, 18), "way_id")
+    work = tempfile.mkdtemp(prefix="gate_parts_")
+    path = os.path.join(work, "way_geoms")
+    write_cell_partitioned(geoms, path, level=6)
+    qminx, qminy, qmaxx, qmaxy = QUERY_BOXES[0][1:]
+    return pruned_tile_scan(
+        spark, path, qminx, qminy, qmaxx, qmaxy, level=6
+    ).select("way_id")
+
+
+def q36_oracle() -> str:
+    qminx, qminy, qmaxx, qmaxy = QUERY_BOXES[0][1:]
+    return (
+        tpch.synth_cte_prefix("nodes", "way_refs")
+        + f""",
+{_WB_CTE}
+select way_id from wb
+where minx <= {qmaxx} and miny <= {qmaxy}
+  and maxx >= {qminx} and maxy >= {qminy}"""
+    )
+
+
 # --------------------------------------------------------------- registry
 
 GATE_QUERIES = {
@@ -1649,6 +1685,7 @@ GATE_QUERIES = {
     "q33_update_tiles": q33_update_tiles,
     "q34_node_points": q34_node_points,
     "q35_wkb_roundtrip": q35_wkb_roundtrip,
+    "q36_partitioned_scan": q36_partitioned_scan,
 }
 
 class _LazyOracles(dict):
@@ -1723,6 +1760,7 @@ GATE_ORACLES = _LazyOracles({
     "q33_update_tiles": q33_oracle(),
     "q34_node_points": q34_oracle(),
     "q35_wkb_roundtrip": q35_oracle(),
+    "q36_partitioned_scan": q36_oracle(),
 })
 
 

@@ -67,6 +67,67 @@ def stream_apply_changes(spark: SparkSession, store: SnapshotStore,
     )
 
 
+def stream_windowed_rollup(events_stream: DataFrame, ts_col: str = "ts",
+                           window_dur: str = "1 hour",
+                           watermark: str = "2 hours",
+                           type_col: str = "event_type") -> DataFrame:
+    """Streaming variant of the q28 tumbling-window rollup: watermarked
+    event-time windows, so late rows inside the watermark still update
+    their window and rows later than it are dropped — the canonical
+    late-data story.  In append output mode a window finalizes (emits) once
+    the watermark passes its end."""
+    from pyspark.sql import functions as F
+
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_dur).alias("w"), F.col(type_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), type_col, "n",
+            "min_id", "max_id",
+        )
+    )
+
+
+def stream_latest_version(changes_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: the STREAMING filterLastObj
+    (update.go:69-110 across micro-batches) via applyInPandasWithState —
+    per-key state holds the newest (seq, change_type, val) seen so far;
+    each batch emits the keys it changed with their current newest row.
+    State is O(live keys), partitioned by key — the scale axis.
+
+    changes_stream: (key long, seq long, change_type string, val double).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _newest(key, pdfs, state):
+        best = state.get if state.exists else None  # (seq, ct, val)
+        for pdf in pdfs:
+            for _, r in pdf.sort_values("seq").iterrows():
+                if best is None or int(r["seq"]) >= int(best[0]):
+                    best = (int(r["seq"]), str(r["change_type"]),
+                            float(r["val"]))
+        if best is not None:
+            state.update(best)
+            yield pd.DataFrame(
+                [{"key": int(key[0]), "seq": best[0],
+                  "change_type": best[1], "val": best[2]}]
+            )
+
+    return changes_stream.groupBy("key").applyInPandasWithState(
+        _newest,
+        "key long, seq long, change_type string, val double",
+        "seq long, change_type string, val double",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def _latest_stage(store: SnapshotStore, base_stage: str) -> str:
     import os
 

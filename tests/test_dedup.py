@@ -77,3 +77,33 @@ def test_simhash_deterministic_and_close_for_neardups(prepped):
     base = prepped.table("documents").filter("doc_id % 7 = 0").toPandas()
     for d in base["doc_id"][:20]:
         assert sh[d] == sh[d + 2000000]
+
+
+def test_ivf_topk_recall_vs_brute(prepped):
+    from osmquadtree_depreceated_spark.operators.ann import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    emb = prepped.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    k = 5
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(queries, emb, k).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(queries, emb, k, n_centroids=16,
+                          n_probe=4).collect()
+    }
+    # approximate: require decent recall at 4/16 probes
+    recall = len(ivf & brute) / len(brute)
+    assert recall >= 0.6, recall
+    # probing ALL cells degrades gracefully to exact
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(queries, emb, k, n_centroids=16,
+                          n_probe=16).collect()
+    }
+    assert full == brute

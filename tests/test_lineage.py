@@ -104,6 +104,94 @@ def test_change_batches_and_resume(spark, store, synth):
     assert got2 == got
 
 
+def test_stream_windowed_rollup_watermark(spark, tmp_path):
+    from osmquadtree_depreceated_spark.streaming.changes import (
+        stream_windowed_rollup,
+    )
+
+    feed = tmp_path / "evfeed"
+    feed.mkdir()
+    ckpt = str(tmp_path / "wm_ckpt")
+    sink = str(tmp_path / "wm_out")
+
+    def _run(qname):
+        stream = spark.readStream.schema(
+            "event_id long, event_type string, ts timestamp"
+        ).json(str(feed))
+        q = (
+            stream_windowed_rollup(stream, watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: two events in the 10:00 window plus one at 14:00 — commits a
+    # watermark of 12:00 into the checkpoint
+    (feed / "b1.json").write_text(
+        '{"event_id": 1, "event_type": "a", "ts": "2024-01-01T10:05:00"}\n'
+        '{"event_id": 2, "event_type": "a", "ts": "2024-01-01T10:45:00"}\n'
+        '{"event_id": 3, "event_type": "a", "ts": "2024-01-01T14:00:00"}\n'
+    )
+    _run("winroll_a")
+    # run 2 (same checkpoint, watermark carried over): a LATE row for the
+    # 10:00 window — 10:10 < watermark 12:00, must be dropped — plus a
+    # fresh event that pushes the watermark far enough to flush everything
+    (feed / "b2.json").write_text(
+        '{"event_id": 4, "event_type": "a", "ts": "2024-01-01T10:10:00"}\n'
+        '{"event_id": 5, "event_type": "a", "ts": "2024-01-01T19:00:00"}\n'
+    )
+    _run("winroll_b")
+    (feed / "b3.json").write_text(
+        '{"event_id": 6, "event_type": "a", "ts": "2024-01-01T23:00:00"}\n'
+    )
+    _run("winroll_c")
+    rows = {
+        (r["win_start"].hour, r["n"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    # the 10:00 window finalized with n=2 — late event 4 was dropped
+    assert (10, 2) in rows, rows
+    assert (10, 3) not in rows, rows
+
+
+def test_stream_latest_version_stateful(spark, tmp_path):
+    from osmquadtree_depreceated_spark.streaming.changes import (
+        stream_latest_version,
+    )
+
+    feed = tmp_path / "chfeed"
+    feed.mkdir()
+    (feed / "b1.json").write_text(
+        '{"key": 1, "seq": 1, "change_type": "create", "val": 10.0}\n'
+        '{"key": 2, "seq": 1, "change_type": "create", "val": 20.0}\n'
+    )
+    (feed / "b2.json").write_text(
+        '{"key": 1, "seq": 3, "change_type": "modify", "val": 11.0}\n'
+        '{"key": 1, "seq": 2, "change_type": "modify", "val": 99.0}\n'
+    )
+    stream = spark.readStream.schema(
+        "key long, seq long, change_type string, val double"
+    ).option("maxFilesPerTrigger", 1).json(str(feed))
+    q = (
+        stream_latest_version(stream)
+        .writeStream.format("memory").queryName("latest")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "st_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from latest").collect()
+    # last emission per key reflects the newest seq across ALL batches
+    newest = {}
+    for r in rows:
+        newest[r["key"]] = (r["seq"], r["val"])
+    assert newest[1] == (3, 11.0)  # seq-2 row never overrode seq-3 state
+    assert newest[2] == (1, 20.0)
+
+
 def test_streaming_micro_batches(spark, store, tmp_path, synth):
     base = spark.createDataFrame(
         [(1, 10.0), (2, 20.0)], "key long, val double"

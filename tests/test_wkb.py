@@ -64,6 +64,39 @@ def test_roundtrip_decode_encode_identity():
                 assert x == lon * 0.0000001 and y == lat * 0.0000001
 
 
+def test_wkt_native_matches_scalar(spark):
+    from osmquadtree_depreceated_spark.functions.wkt import with_wkt
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(40):
+        m = int(rng.integers(2, 7))
+        rows.append((
+            i,
+            [WKB_POINT, WKB_LINESTRING, WKB_POLYGON][i % 3],
+            [int(x) for x in
+             rng.integers(-1_800_000_000, 1_800_000_000, m)],
+            [int(x) for x in rng.integers(-850_000_000, 850_000_000, m)],
+        ))
+    df = spark.createDataFrame(
+        rows, "id long, geom_type int, lons array<long>, lats array<long>"
+    )
+    got = {r["id"]: r["wkt"] for r in with_wkt(df).collect()}
+    for i, gt, lons, lats in rows:
+        pts = ", ".join(
+            f"{lon * 1e-7:.6f} {lat * 1e-7:.6f}"
+            for lon, lat in zip(lons, lats)
+        )
+        if gt == WKB_POINT:
+            want = (f"POINT({lons[0] * 1e-7:.6f} "
+                    f"{lats[0] * 1e-7:.6f})")
+        elif gt == WKB_POLYGON:
+            want = f"POLYGON(({pts}))"
+        else:
+            want = f"LINESTRING({pts})"
+        assert got[i] == want, (i, got[i], want)
+
+
 def test_prj_mercator_matches_ring_kernel():
     from osmquadtree_depreceated_spark.qtcore.rings import _merc_xy_arrays
 

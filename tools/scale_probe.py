@@ -65,7 +65,7 @@ def main():
     n_nodes = nodes.count(); n_refs = way_refs.count()
     fused_pipeline(spark, nodes, way_refs, gate.QUERY_BOXES)  # warmup
     best = None
-    for _ in range(int(os.environ.get("BENCH_PROBE_RUNS", "1"))):
+    for _ in range(int(os.environ.get("BENCH_PROBE_RUNS", "2"))):
         t0 = time.time()
         fused_pipeline(spark, nodes, way_refs, gate.QUERY_BOXES)
         dt = time.time() - t0
