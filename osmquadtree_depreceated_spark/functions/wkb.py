@@ -97,6 +97,62 @@ def wkb_rows(geom_types, lons_seq, lats_seq, prj: bool = False,
     return out
 
 
+WKB_GEOMETRYCOLLECTION = 7
+
+
+def wkb_collection_rows(rings_seq, prj: bool = False):
+    """Multipolygon relations -> GEOMETRYCOLLECTION-of-POLYGON WKB (the
+    reference's multi shape, geometryimpl.go:384-391).  Documented
+    divergence (FIXTURES.md policy): the reference writer emits 4-byte
+    headers and omits the geometry count — malformed WKB no parser
+    accepts; we emit the CORRECT encoding (endian byte + int32 type +
+    int32 count, nested geometries with full headers).
+
+    rings_seq: per row, a sequence of ring structs/dicts with fields
+    (grp, lons, lats) — the assemble_multipolygons `rings` column."""
+    out = []
+    for rings in rings_seq:
+        if rings is None or len(rings) == 0:
+            out.append(None)
+            continue
+        groups: dict = {}
+        for r in rings:
+            d = r if isinstance(r, dict) else r.asDict()
+            groups.setdefault(int(d["grp"]), []).append(
+                (d["lons"], d["lats"])
+            )
+        parts = []
+        for gi in sorted(groups):
+            grp = groups[gi]
+            body = b"\x00" + struct.pack(">ii", WKB_POLYGON, len(grp))
+            for lons, lats in grp:
+                x, y = _coords_to_floats(
+                    np.asarray(lons, dtype=np.int64),
+                    np.asarray(lats, dtype=np.int64), prj,
+                )
+                xy = np.empty((len(x), 2), dtype=">f8")
+                xy[:, 0] = x
+                xy[:, 1] = y
+                body += struct.pack(">i", len(x)) + xy.tobytes()
+            parts.append(body)
+        out.append(
+            b"\x00" + struct.pack(">ii", WKB_GEOMETRYCOLLECTION, len(parts))
+            + b"".join(parts)
+        )
+    return out
+
+
+def wkb_collection_udf(prj: bool = False):
+    """pandas UDF rings-column -> GEOMETRYCOLLECTION WKB binary."""
+
+    @F.pandas_udf("binary")
+    def _wkbc(rings: pd.Series) -> pd.Series:
+        return pd.Series(wkb_collection_rows(list(rings), prj),
+                         dtype=object)
+
+    return _wkbc
+
+
 def wkb_udf(prj: bool = False, postgis: bool = False):
     """pandas UDF (geom_type int, lons array<long>, lats array<long>) ->
     binary WKB."""
@@ -142,6 +198,31 @@ def parse_wkb(b: bytes):
     pts = [struct.unpack(">dd", b[p + 16 * i:p + 16 * i + 16])
            for i in range(m)]
     return tcode, srid, pts
+
+
+def parse_wkb_collection(b: bytes):
+    """Scalar reader for GEOMETRYCOLLECTION-of-POLYGON WKB (tests):
+    returns [[ [ (x,y), ... ] per ring ] per polygon]."""
+    assert b[0] == 0
+    (tcode, n) = struct.unpack(">ii", b[1:9])
+    assert tcode == WKB_GEOMETRYCOLLECTION, tcode
+    p = 9
+    polys = []
+    for _ in range(n):
+        assert b[p] == 0
+        (pt, nrings) = struct.unpack(">ii", b[p + 1:p + 9])
+        assert pt == WKB_POLYGON
+        p += 9
+        rings = []
+        for _ in range(nrings):
+            (m,) = struct.unpack(">i", b[p:p + 4])
+            p += 4
+            ring = [struct.unpack(">dd", b[p + 16 * i:p + 16 * i + 16])
+                    for i in range(m)]
+            p += 16 * m
+            rings.append(ring)
+        polys.append(rings)
+    return polys
 
 
 def parse_wkb_udf():

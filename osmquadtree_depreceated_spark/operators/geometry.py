@@ -325,7 +325,8 @@ _MP_SCHEMA = (
     "rel_id long, geom_type int, n_rings int, n_groups int, "
     "way_area double, minx long, miny long, maxx long, maxy long, "
     "outer_refs array<long>, z_order long, tags map<string,string>, "
-    "del_pairs array<struct<way_id: long, key: string>>"
+    "del_pairs array<struct<way_id: long, key: string>>, "
+    "rings array<struct<grp: int, lons: array<long>, lats: array<long>>>"
 )
 
 
@@ -447,6 +448,17 @@ def assemble_multipolygons(rel_way_members: DataFrame,
             except ValueError:
                 pass
         pts = [p for g in groups for ring in g for p in ring]
+        # per-ring coordinates (post polygon_area orientation fixing, which
+        # mutates ring order in place like the reference) for WKB/WKT sinks
+        rings_out = [
+            {
+                "grp": gi,
+                "lons": [int(p[1]) for p in ring],
+                "lats": [int(p[2]) for p in ring],
+            }
+            for gi, g in enumerate(groups)
+            for ring in g
+        ]
         return pd.DataFrame(
             [
                 {
@@ -464,6 +476,7 @@ def assemble_multipolygons(rel_way_members: DataFrame,
                     "z_order": zo,
                     "tags": rt if with_tags else None,
                     "del_pairs": del_pairs,
+                    "rings": rings_out,
                 }
             ]
         )
@@ -473,13 +486,13 @@ def assemble_multipolygons(rel_way_members: DataFrame,
 
 _MP_COLS = ["rel_id", "geom_type", "n_rings", "n_groups", "way_area",
             "minx", "miny", "maxx", "maxy", "outer_refs", "z_order",
-            "tags", "del_pairs"]
+            "tags", "del_pairs", "rings"]
 _MP_DTYPES = {
     "rel_id": "int64", "geom_type": "int32", "n_rings": "int32",
     "n_groups": "int32", "way_area": "float64", "minx": "int64",
     "miny": "int64", "maxx": "int64", "maxy": "int64",
     "outer_refs": "object", "z_order": "int64", "tags": "object",
-    "del_pairs": "object",
+    "del_pairs": "object", "rings": "object",
 }
 
 

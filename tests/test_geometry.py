@@ -351,6 +351,31 @@ class TestSparkGeometry:
         assert len(kept2) == 1
         assert dict(kept2[0]["tags"]) == {"amenity": "cafe"}
 
+    def test_multipolygon_collection_wkb(self, spark, geo_data):
+        from osmquadtree_depreceated_spark.functions.wkb import (
+            parse_wkb_collection,
+            wkb_collection_udf,
+        )
+
+        nodes, way_refs = geo_data
+        wc = add_way_coords(way_refs, nodes)
+        members = spark.createDataFrame(
+            [(200, 1, "outer"), (200, 4, "outer"), (200, 5, "")],
+            "rel_id long, ref long, role string",
+        )
+        out = assemble_multipolygons(members, wc)
+        enc = out.select(
+            "rel_id", "n_groups",
+            wkb_collection_udf()(F.col("rings")).alias("wkb"),
+        ).collect()
+        assert len(enc) == 1
+        polys = parse_wkb_collection(bytes(enc[0]["wkb"]))
+        assert len(polys) == enc[0]["n_groups"] == 2
+        # rings are closed in coordinate space
+        for rings in polys:
+            for ring in rings:
+                assert ring[0] == ring[-1]
+
     def test_boundary_relation_skips_tag_inheritance(self, spark, geo_data):
         nodes, way_refs = geo_data
         wc = add_way_coords(way_refs, nodes)

@@ -69,3 +69,28 @@ def test_partition_pruning_skips_files(spark, table):
     }
     assert pruned_files and len(pruned_files) < len(all_files), (
         len(pruned_files), len(all_files))
+
+
+def test_dynamic_partition_pruning_on_tile_join(spark, table):
+    """A tile-dimension join on the partition column triggers Spark's
+    dynamic partition pruning — the fact scan waits for the dim filter
+    result and skips non-matching partitions at runtime (SURVEY §4 row 1's
+    'dynamic partition pruning for tile joins')."""
+    from osmquadtree_depreceated_spark.qtcore import cover_cells
+
+    path, _ = table
+    fact = spark.read.parquet(path)
+    cover = [int(c) for c in cover_cells(*QBOX, LEVEL, 0.05)]
+    dim = spark.createDataFrame(
+        [(c, "serve" if i % 2 == 0 else "skip")
+         for i, c in enumerate(cover)],
+        "pc long, klass string",
+    )
+    joined = (
+        fact.join(dim, fact[PART_COL] == dim["pc"])
+        .where(dim["klass"] == "serve")
+        .select("way_id")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2500]
+    assert joined.count() >= 0

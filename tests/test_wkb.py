@@ -107,3 +107,24 @@ def test_prj_mercator_matches_ring_kernel():
     wx, wy = _merc_xy_arrays(lons, lats)
     for (x, y), ex, ey in zip(pts, wx, wy):
         assert x == ex and y == ey
+
+
+def test_geometry_collection_roundtrip():
+    from osmquadtree_depreceated_spark.functions.wkb import (
+        parse_wkb_collection,
+        wkb_collection_rows,
+    )
+
+    rings = [
+        {"grp": 0, "lons": [0, 10, 10, 0, 0], "lats": [0, 0, 10, 10, 0]},
+        {"grp": 0, "lons": [2, 4, 4, 2], "lats": [2, 2, 4, 2]},
+        {"grp": 1, "lons": [100, 120, 110, 100], "lats": [100, 100, 120, 100]},
+    ]
+    [b] = wkb_collection_rows([rings])
+    polys = parse_wkb_collection(b)
+    assert len(polys) == 2
+    assert len(polys[0]) == 2 and len(polys[1]) == 1
+    assert polys[0][0][0] == (0.0, 0.0)
+    assert polys[0][1][1] == (4 * 1e-7, 2 * 1e-7)
+    # null/empty rings -> null wkb
+    assert wkb_collection_rows([None, []]) == [None, None]
