@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from ..qtcore.rings import EARTH_HALF_CIRCUM
+from ..qtcore.rings import _merc_xy_arrays
 
 WKB_POINT, WKB_LINESTRING, WKB_POLYGON = 1, 2, 3
 _SRID_FLAG = 1 << 29
@@ -32,18 +32,10 @@ _SRID_FLAG = 1 << 29
 
 def _coords_to_floats(lons: np.ndarray, lats: np.ndarray, prj: bool):
     if prj:
-        x = lons * 0.0000001 * EARTH_HALF_CIRCUM / 180.0
-        y = (
-            np.log(np.tan(np.pi * (1.0 + lats * 0.0000001 / 90.0) / 4.0))
-            * 90.0
-            / np.pi
-            * EARTH_HALF_CIRCUM
-            / 90.0
-        )
-    else:
-        x = lons * 0.0000001
-        y = lats * 0.0000001
-    return x, y
+        # the ONE mercator implementation (bit-parity anchor for cells,
+        # areas and projected sinks alike)
+        return _merc_xy_arrays(lons, lats)
+    return lons * 0.0000001, lats * 0.0000001
 
 
 def wkb_rows(geom_types, lons_seq, lats_seq, prj: bool = False,
@@ -89,11 +81,16 @@ def wkb_rows(geom_types, lons_seq, lats_seq, prj: bool = False,
                 _hdr(WKB_POLYGON) + struct.pack(">i", 1)
                 + struct.pack(">i", m) + raw[s:s + 16 * m]
             )
-        else:
+        elif gt == WKB_LINESTRING:
             out[i] = (
                 _hdr(WKB_LINESTRING) + struct.pack(">i", m)
                 + raw[s:s + 16 * m]
             )
+        else:
+            # multipolygon relations (7) route through
+            # wkb_collection_rows; anything else is a caller bug — fail
+            # loudly rather than emit a structurally-valid wrong geometry
+            raise ValueError(f"wkb_rows: unsupported geom_type {gt}")
     return out
 
 

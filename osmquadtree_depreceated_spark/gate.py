@@ -852,7 +852,8 @@ def q23_oracle(tau: float = 0.95, n_planes: int = 8, n_tables: int = 4,
         )
         branches.append(
             f"select vec_id as doc, embedding, "
-            f"cast({t * 1000} + {key} as bigint) as bucket from emb_aug"
+            f"cast({t * (1 << n_planes)} + {key} as bigint) as bucket"
+            f" from emb_aug"
         )
     buckets = "\n  union all\n  ".join(branches)
     return f"""

@@ -40,6 +40,11 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int,
         candidates.filter(F.col(id_col) % sample_mod == 0)
         .select(vec_col).limit(50000).collect()
     )
+    if not srows:  # empty/over-thinned sample: nothing to index
+        spark = candidates.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long"
+        )
     X = np.array([r[0] for r in srows], dtype=np.float64)
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

@@ -194,11 +194,15 @@ def embedding_neardup_lsh_axis(embeddings: DataFrame, tau: float,
             f"then {1 << p} else 0 end)"
             for p in range(n_planes)
         )
+        # stride by 2^n_planes so per-table key spaces NEVER overlap
+        # (a fixed +1000 stride would collide for n_planes >= 10)
         branches.append(
             embeddings.select(
                 F.col(id_col).alias("doc"),
                 F.col(vec_col).alias("vec"),
-                F.expr(f"cast({t * 1000} + {key} as bigint)").alias("bucket"),
+                F.expr(
+                    f"cast({t * (1 << n_planes)} + {key} as bigint)"
+                ).alias("bucket"),
             )
         )
     bucketed = branches[0]
@@ -258,7 +262,7 @@ def embedding_neardup_lsh(embeddings: DataFrame, tau: float,
             for t in range(n_tables):
                 signs = (mat @ planes[t].T) > 0
                 key = (signs * (1 << np.arange(n_planes))).sum(axis=1)
-                keys.append(t * 1000 + key)
+                keys.append(t * (1 << n_planes) + key)  # disjoint per table
             out["bucket"] = np.stack(keys, axis=1).reshape(-1)
             vecs = np.repeat(np.arange(len(ids)), n_tables)
             df = pd.DataFrame(out)

@@ -75,13 +75,21 @@ def with_tag_rewrite(df: DataFrame, which: str = "way",
                f"exists(map_keys({tc}), k -> k in ({feat_l}))"),
     )
     if which == "way":
+        # area=yes counts only when the style lists 'area' as a way key
+        # (wayTags checks it inside the filtered-key branch,
+        # makegeometries.go:99-103)
+        area_tt = tf.get("area")
+        area_clause = (
+            "or lower(coalesce(element_at({tc}, 'area'), '')) "
+            "in ('1', 'yes', 'true') ".format(tc=tc)
+            if area_tt is not None and area_tt.is_way else ""
+        )
         df = df.withColumn(
             f"{t}_poly",
             F.expr(
                 f"{tc} is not null and ("
                 f"exists(map_keys({tc}), k -> k in ({poly_l})) "
-                f"or lower(coalesce(element_at({tc}, 'area'), '')) "
-                f"   in ('1', 'yes', 'true') "
+                f"{area_clause}"
                 f"or element_at({tc}, 'boundary') is not null)"
             ),
         )
@@ -141,7 +149,9 @@ def with_zorder(df: DataFrame, tags_col: str = "tags",
     value, no UDF (scalar reference: qtcore.rings.find_zorder)."""
     t = tmp
     tc = tags_col
-    hw = ", ".join(f"'{k}', {v}L" for k, v in sorted(_HW_ORDER.items()))
+    hw = ", ".join(
+        f"'{k}', {v}L" for k, v in sorted(R.HIGHWAY_ORDER.items())
+    )
     df = (
         df.withColumn(
             f"{t}_hw",
@@ -182,15 +192,6 @@ def with_zorder(df: DataFrame, tags_col: str = "tags",
         )
     )
     return df.drop(*[c for c in df.columns if c.startswith(t)])
-
-
-_HW_ORDER = {
-    "service": 1, "footway": 1, "path": 1, "footpath": 1, "cycleway": 1,
-    "bridlepath": 1, "living_street": 2, "pedestrian": 2, "residential": 3,
-    "unclassified": 3, "road": 3, "tertiary_link": 4, "tertiary": 4,
-    "secondary_link": 6, "secondary": 6, "primary_link": 7, "primary": 7,
-    "trunk_link": 8, "trunk": 8, "motorway_link": 9, "motorway": 9,
-}
 
 
 def make_node_geometries(nodes_with_tags: DataFrame,
@@ -530,6 +531,8 @@ def apply_outer_tag_deletions(way_geoms: DataFrame, mp_out: DataFrame,
             "map_filter(tags, (k, v) -> not array_contains(_del_keys, k)) end"
         ),
     ).drop("_del_keys")
+    if not feature_keys:  # no way-feature keys in the style -> drop all
+        return out.filter(F.lit(False))
     feat = " or ".join(
         f"element_at(tags, '{k}') is not null" for k in feature_keys
     )

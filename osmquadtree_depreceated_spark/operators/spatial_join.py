@@ -115,6 +115,13 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int,
     prefilter when the data side is cell-partitioned; the result contract is
     identical, so this baseline is also its correctness oracle.
 
+    Domain bound (both kNN variants + their SQL oracle share it): dist2 is
+    exact int64, which holds for any |delta-lon| <= ~3.03e9 fixed-point
+    units (303 degrees); beyond that — near-antipodal spans where planar
+    squared-euclidean is geometrically meaningless anyway — the square
+    would exceed int64.  Planar fixed-point semantics per FIXTURES.md
+    golden_knn (the reference has no spherical kNN).
+
     queries: (query_id, qlon, qlat); points: (node_id, lon, lat).
     Returns (query_id, rank, node_id, dist2).
     """
@@ -294,12 +301,18 @@ def knn_cell_join(queries, points: DataFrame, k: int,
             else:
                 levels[qid_] = lvl - 1
 
-    # one final whole-batch pass at the settled levels, returned lazily —
-    # result rows never visit the driver
+    # one final whole-batch pass at the settled levels; result rows never
+    # visit the driver (localCheckpoint materializes the tiny k*|queries|
+    # output executor-side).  Pinning it BEFORE unpersisting pts keeps the
+    # output computed from the exact snapshot the ball-containment guard
+    # validated, and frees the cache so long multi-query sessions don't
+    # accumulate pinned tables.
     final = _batch_df(sorted(qpos))
-    return _topk(final).select(
+    out = _topk(final).select(
         "query_id", "rank", id_col, "dist2"
-    )
+    ).localCheckpoint(eager=True)
+    pts.unpersist()
+    return out
 
 
 def raster_vector_join(geom_cells: DataFrame, zoom: int,

@@ -277,16 +277,7 @@ def ring_areas_vectorized(lons_seq, lats_seq):
     keep = ~prev_same
     new_lens = np.add.reduceat(keep.astype(np.int64), starts)
 
-    kl = flat_lon[keep]
-    kt = flat_lat[keep]
-    fx = kl * 0.0000001 * EARTH_HALF_CIRCUM / 180.0
-    fy = (
-        np.log(np.tan(np.pi * (1.0 + kt * 0.0000001 / 90.0) / 4.0))
-        * 90.0
-        / np.pi
-        * EARTH_HALF_CIRCUM
-        / 90.0
-    )
+    fx, fy = _merc_xy_arrays(flat_lon[keep], flat_lat[keep])
 
     starts2 = np.concatenate([[0], np.cumsum(new_lens)[:-1]])
     valid = new_lens >= 4

@@ -29,6 +29,8 @@ OSC_SCHEMA = (
     "members array<struct<mtype: string, ref: long, role: string>>, "
     "tags map<string,string>"
 )
+_OSC_COLS = ["change_type", "etype", "id", "version", "ts", "changeset",
+             "lon", "lat", "refs", "members", "tags"]
 
 _MTYPE = {"node": "n", "way": "w", "relation": "r"}
 
@@ -103,7 +105,7 @@ def read_osc_files(spark: SparkSession, paths: list[str]) -> DataFrame:
                 with open(p, "rb") as f:
                     out.extend(parse_osc_bytes(f.read()))
             yield pd.DataFrame(out) if out else pd.DataFrame(
-                columns=[c.split()[0] for c in OSC_SCHEMA.split(", ")]
+                columns=_OSC_COLS
             )
 
     return pdf.repartition(max(len(paths), 1), "path").mapInPandas(

@@ -73,3 +73,14 @@ def test_distributed_read_and_node_feed(spark, tmp_path):
     assert (101, "create") in got and (111, "create") in got
     assert (103, "delete") in got
     assert {r["seq"] for r in nodes.filter("node_id = 102").collect()} == {3}
+
+
+def test_element_free_diff_yields_empty_frame(spark, tmp_path):
+    """Empty replication diffs (no elements at all) must parse to zero rows,
+    not crash the partition (regression: the empty-batch fallback derived
+    bogus column names from the schema string)."""
+    p = tmp_path / "empty.osc"
+    p.write_bytes(b"<?xml version='1.0'?><osmChange version=\"0.6\"></osmChange>")
+    df = read_osc_files(spark, [str(p)])
+    assert df.count() == 0
+    assert "tags" in df.columns
