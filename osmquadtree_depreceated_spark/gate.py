@@ -1648,6 +1648,125 @@ where minx <= {qmaxx} and miny <= {qmaxy}
     )
 
 
+# deterministic synthesized way tags (dialect-neutral pieces).  Key mix is
+# chosen so the rewrite exercises every branch: highway/building/name are
+# way style keys (kept), bridge/layer/randomkey are not (folded into
+# other_tags JSON and therefore EXCLUDED from z-order, which runs on the
+# rewritten tags).
+_WAY_TAG_CASES = {
+    "highway": ("way_id % 7 = 0",
+                "case when way_id % 5 = 0 then 'motorway' "
+                "when way_id % 5 = 1 then 'service' "
+                "when way_id % 5 = 2 then 'residential' "
+                "when way_id % 5 = 3 then 'primary' "
+                "else 'footway' end"),
+    "building": ("way_id % 4 = 0", "'yes'"),
+    "name": ("way_id % 3 = 0", "'n' || (way_id % 9)"),
+    "bridge": ("way_id % 11 = 0", "'yes'"),
+    "layer": ("way_id % 13 = 0", "cast(way_id % 5 - 2 as string)"),
+    "randomkey": ("way_id % 2 = 0", "'rv' || (way_id % 6)"),
+}
+
+_WAY_TAGS_SPARK_SQL = """
+select way_id,
+  map_filter(map(""" + ", ".join(
+    f"'{k}', case when {cond} then cast({val} as string) end"
+    for k, (cond, val) in _WAY_TAG_CASES.items()
+) + """), (k, v) -> v is not null) as tags
+from (select distinct way_id from way_refs) w
+"""
+
+
+def q37_way_geometry_tags(spark, sf_dir) -> DataFrame:
+    """Way geometry WITH the full native tag rewrite: style keys kept,
+    bridge/layer/randomkey folded into other_tags JSON, geom_type decided
+    by closed-ring AND poly-ish tags, z-order over the REWRITTEN tags
+    (folded keys must NOT affect it).  Oracle replicates the rewrite
+    arithmetically in SQL over the deterministic synthesized way tags."""
+    _prep(spark, sf_dir)
+    from .operators.geometry import add_way_coords, make_way_geometries
+
+    wc = add_way_coords(spark.table("way_refs"), spark.table("nodes"))
+    way_tags = spark.sql(_WAY_TAGS_SPARK_SQL)
+    g = make_way_geometries(wc, way_tags=way_tags)
+    return g.select(
+        "way_id", "geom_type", "z_order", "is_feature",
+        F.size("refs").alias("n_points"),
+        F.expr(
+            "array_join(array_sort(transform(map_entries(tags),"
+            " e -> concat(e.key, '=', e.value))), ';')"
+        ).alias("tags_sig"),
+    )
+
+
+def q37_oracle() -> str:
+    from .qtcore.rings import HIGHWAY_ORDER
+
+    hw_c, hw_v = _WAY_TAG_CASES["highway"]
+    bl_c, bl_v = _WAY_TAG_CASES["building"]
+    nm_c, nm_v = _WAY_TAG_CASES["name"]
+    br_c, br_v = _WAY_TAG_CASES["bridge"]
+    ly_c, ly_v = _WAY_TAG_CASES["layer"]
+    rk_c, rk_v = _WAY_TAG_CASES["randomkey"]
+    rank = " ".join(
+        f"when hw = '{k}' then {v}"
+        for k, v in sorted(HIGHWAY_ORDER.items())
+    )
+    return (
+        tpch.synth_cte_prefix("nodes", "way_refs")
+        + f""",
+pts as (
+  select w.way_id, w.ref,
+         row_number() over (partition by w.way_id order by w.pos, w.ref)
+           as rn,
+         count(*) over (partition by w.way_id) as np
+  from way_refs w join nodes n on w.ref = n.node_id
+),
+ends as (
+  select way_id, np,
+         min(case when rn = 1 then ref end) as first_ref,
+         min(case when rn = np then ref end) as last_ref
+  from pts group by way_id, np
+),
+wt as (
+  select way_id, np,
+         (np >= 3 and first_ref = last_ref) as closed,
+         case when {hw_c} then {hw_v} end as hw,
+         case when {bl_c} then {bl_v} end as bl,
+         case when {nm_c} then 'n' || (way_id % 9) end as nm,
+         case when {br_c} then {br_v} end as br,
+         case when {ly_c} then {ly_v} end as ly,
+         case when {rk_c} then 'rv' || (way_id % 6) end as rk
+  from ends
+),
+rw as (
+  select way_id, np, closed, hw, bl, nm,
+         -- folded keys in sorted order: bridge < layer < randomkey
+         case when br is not null or ly is not null or rk is not null then
+           '{{' || concat_ws(',',
+             case when br is not null then '"bridge":"' || br || '"' end,
+             case when ly is not null then '"layer":"' || ly || '"' end,
+             case when rk is not null then '"randomkey":"' || rk || '"' end
+           ) || '}}' end as ot,
+         -- z-order over REWRITTEN tags: only highway survives the filter
+         coalesce(case {rank} else 0 end, 0) as hwrank
+  from wt
+)
+select way_id,
+  cast(case when closed and bl is not null then 3 else 2 end as int)
+    as geom_type,
+  cast(case when hwrank > 1 then hwrank else 0 end as bigint) as z_order,
+  (hw is not null or bl is not null) as is_feature,
+  cast(np as int) as n_points,
+  concat_ws(';',
+    case when bl is not null then 'building=' || bl end,
+    case when hw is not null then 'highway=' || hw end,
+    case when nm is not null then 'name=' || nm end,
+    case when ot is not null then 'other_tags=' || ot end) as tags_sig
+from rw"""
+    )
+
+
 # --------------------------------------------------------------- registry
 
 GATE_QUERIES = {
@@ -1687,6 +1806,7 @@ GATE_QUERIES = {
     "q34_node_points": q34_node_points,
     "q35_wkb_roundtrip": q35_wkb_roundtrip,
     "q36_partitioned_scan": q36_partitioned_scan,
+    "q37_way_geometry_tags": q37_way_geometry_tags,
 }
 
 class _LazyOracles(dict):
@@ -1762,6 +1882,7 @@ GATE_ORACLES = _LazyOracles({
     "q34_node_points": q34_oracle(),
     "q35_wkb_roundtrip": q35_oracle(),
     "q36_partitioned_scan": q36_oracle(),
+    "q37_way_geometry_tags": q37_oracle(),
 })
 
 
