@@ -262,14 +262,19 @@ def main():
         t_start = time.time()
         pairs = []
         for _ in range(max_rounds):
+            # THREE calibrations: each probe is bracketed individually, so
+            # a tenant burst DURING one probe (invisible to before/after
+            # brackets around the whole pair) still invalidates the round
             c_before = _hw_ceiling(SCALE_LOW, SCALE_HIGH)
             lo = _subprocess_probe(SCALE_LOW, AMPLIFY)
+            c_mid = _hw_ceiling(SCALE_LOW, SCALE_HIGH)
             hi = _subprocess_probe(SCALE_HIGH, AMPLIFY)
             c_after = _hw_ceiling(SCALE_LOW, SCALE_HIGH)
-            ceiling = round((c_before + c_after) / 2, 3)
+            cs = (c_before, c_mid, c_after)
+            ceiling = round(sum(cs) / 3, 3)
             stable = (
-                0.5 <= c_before <= 1.05 and 0.5 <= c_after <= 1.05
-                and abs(c_before - c_after) <= 0.25
+                all(0.5 <= c <= 1.05 for c in cs)
+                and max(cs) - min(cs) <= 0.25
             )
             eff = round(
                 (hi["docs_per_sec"] / lo["docs_per_sec"])
@@ -278,7 +283,8 @@ def main():
             )
             pairs.append({"lo": lo, "hi": hi, "ceiling": ceiling,
                           "eff": eff, "stable": stable,
-                          "c_before": c_before, "c_after": c_after})
+                          "c_before": c_before, "c_mid": c_mid,
+                          "c_after": c_after})
             if stable and eff >= 0.8:
                 break
             if time.time() - t_start > budget:
