@@ -1627,7 +1627,11 @@ def q36_partitioned_scan(spark, sf_dir) -> DataFrame:
 
     wb = _way_bbox_df(spark)
     geoms = wb.join(way_cells(wb, 0.05, 18), "way_id")
-    work = tempfile.mkdtemp(prefix="gate_parts_")
+    # fixed per-user session path, overwritten each invocation (mode
+    # "overwrite" below) — mkdtemp leaked one parquet copy per gate run
+    work = os.path.join(
+        tempfile.gettempdir(), f"gate_parts_{os.getuid()}"
+    )
     path = os.path.join(work, "way_geoms")
     write_cell_partitioned(geoms, path, level=6)
     qminx, qminy, qmaxx, qmaxy = QUERY_BOXES[0][1:]

@@ -68,6 +68,12 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int,
     )
     nprobe = min(n_probe, len(C))
     probes = np.argsort(-(qnorm @ C.T), axis=1)[:, :nprobe]
+    # (n_centroids x n_q) membership table: probe_mask[c, j] == True iff
+    # query j probes centroid c.  One numpy index per query replaces the
+    # per-candidate Python `in`-set loop in the hot kernel.
+    probe_mask = np.zeros((len(C), len(qids)), dtype=bool)
+    for j in range(len(qids)):
+        probe_mask[probes[j], j] = True
 
     # centroids + probe lists ship with the task closure (tiny); at
     # production scale the assignment column materializes once per table
@@ -83,10 +89,9 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int,
             matn = mat / norms
             cents = (matn @ C.T).argmax(axis=1)
             sims = matn @ qnorm.T  # (n_cand, n_q)
+            batch_mask = probe_mask[cents]  # (n_cand, n_q), pure numpy
             for j, qid in enumerate(qids):
-                want = set(int(c) for c in probes[j])
-                sel = np.fromiter((int(c) in want for c in cents),
-                                  dtype=bool, count=len(ids))
+                sel = batch_mask[:, j]
                 if not sel.any():
                     continue
                 col = sims[sel, j]

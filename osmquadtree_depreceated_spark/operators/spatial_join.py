@@ -144,7 +144,8 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int,
 def knn_cell_join(queries, points: DataFrame, k: int,
                   lon_col: str = "lon", lat_col: str = "lat",
                   id_col: str = "node_id", spark=None,
-                  hist_level: int = 10) -> DataFrame:
+                  hist_level: int = 10,
+                  plan_capture: list | None = None) -> DataFrame:
     """kNN via cell-neighborhood expansion (graft-new per north_rule) —
     EXACT: returns the same rows as knn_join (ties by id ascending).
 
@@ -228,48 +229,61 @@ def knn_cell_join(queries, points: DataFrame, k: int,
             lvl -= 1
         levels[int(qid)] = lvl
 
-    def _batch_df(id_set):
-        rows = []
-        for qid_ in id_set:
-            i = qpos[qid_]
-            lvl = levels[qid_]
-            prefix = int(round_cells(np.array([int(qcells[i])]), lvl)[0])
-            rows.append((qid_, int(qlon[i]), int(qlat[i]), lvl, prefix))
-        return broadcast(spark.createDataFrame(
-            rows, "query_id long, qlon long, qlat long, lvl int, prefix long"
-        ))
+    def _topk(id_set):
+        # Group pending queries BY LEVEL so each sub-batch joins on a
+        # LITERAL-level rounded cell: `cell_round(cell, L) == prefix` has
+        # `cell` only on the left and `prefix` only on the right of `=`,
+        # so Catalyst extracts the equi key and plans BroadcastHashJoin
+        # (the round-2 mixed-side `lvl` condition forced a
+        # BroadcastNestedLoopJoin that re-scanned every point per round).
+        # On a cell-partitioned table the same literal key also prunes
+        # partitions.  Results are identical: the expression per level is
+        # exactly the old CASE with lvl bound to the literal.
+        from functools import reduce
 
-    def _topk(bdf):
-        cand = pts.join(
-            bdf,
-            F.expr(
-                "(case when (cell & 31) < lvl then cell else "
-                "shiftleft(shiftright(cell, cast(63 - 2 * lvl as int)),"
-                " cast(63 - 2 * lvl as int)) + lvl end) = prefix"
-            ),
-        )
+        by_level = {}
+        for qid_ in id_set:
+            by_level.setdefault(levels[qid_], []).append(qid_)
         d2 = (
             (F.col(lon_col) - F.col("qlon"))
             * (F.col(lon_col) - F.col("qlon"))
             + (F.col(lat_col) - F.col("qlat"))
             * (F.col(lat_col) - F.col("qlat"))
         ).alias("dist2")
+        parts = []
+        for lvl in sorted(by_level):
+            rows = []
+            for qid_ in by_level[lvl]:
+                i = qpos[qid_]
+                prefix = int(
+                    round_cells(np.array([int(qcells[i])]), lvl)[0]
+                )
+                rows.append((qid_, int(qlon[i]), int(qlat[i]), prefix))
+            bdf = broadcast(spark.createDataFrame(
+                rows, "query_id long, qlon long, qlat long, prefix long"
+            ))
+            cand = pts.join(
+                bdf, cell_round("cell", lvl) == F.col("prefix"), "inner"
+            )
+            parts.append(cand.select("query_id", id_col, d2))
+        allc = reduce(lambda a, b: a.unionByName(b), parts)
         w = Window.partitionBy("query_id").orderBy(
             F.col("dist2").asc(), F.col(id_col).asc()
         )
-        return (
-            cand.select("query_id", id_col, d2)
-            .withColumn("rank", F.row_number().over(w))
+        res = (
+            allc.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
         )
+        if plan_capture is not None:  # test hook: physical plan per round
+            plan_capture.append(res._jdf.queryExecution().toString())
+        return res
 
     pending = {int(q) for q in qids}
     while pending:
-        bdf = _batch_df(pending)
         # O(pending)-row summary: candidate count + k-th distance per query
         summary = {
             r["query_id"]: (r["n"], r["dk"])
-            for r in _topk(bdf)
+            for r in _topk(pending)
             .groupBy("query_id")
             .agg(F.count(F.lit(1)).alias("n"), F.max("dist2").alias("dk"))
             .collect()
@@ -307,8 +321,7 @@ def knn_cell_join(queries, points: DataFrame, k: int,
     # output computed from the exact snapshot the ball-containment guard
     # validated, and frees the cache so long multi-query sessions don't
     # accumulate pinned tables.
-    final = _batch_df(sorted(qpos))
-    out = _topk(final).select(
+    out = _topk(sorted(qpos)).select(
         "query_id", "rank", id_col, "dist2"
     ).localCheckpoint(eager=True)
     pts.unpersist()

@@ -121,3 +121,54 @@ class TestPrunedBboxJoin:
             .count()
         )
         assert n_pruned_input < geoms_df.count()
+
+
+class TestKnnCellJoinPlan:
+    """Round-3: the escalation join must be an equi (hash) join, never a
+    BroadcastNestedLoopJoin — per-level literal keys make it separable."""
+
+    @pytest.fixture(scope="class")
+    def points_df(self, spark):
+        import pandas as pd
+
+        n = 4000
+        lon = RNG.integers(-20_000_000, 20_000_000, n)
+        lat = RNG.integers(495_000_000, 525_000_000, n)
+        pdf = pd.DataFrame(
+            {"node_id": np.arange(n, dtype=np.int64), "lon": lon, "lat": lat}
+        )
+        return spark.createDataFrame(pdf)
+
+    def test_cell_knn_equals_brute_and_plans_hash_join(self, spark,
+                                                       points_df):
+        from osmquadtree_depreceated_spark.operators.spatial_join import (
+            knn_cell_join,
+            knn_join,
+        )
+
+        queries = [
+            (1, -5_000_000, 505_000_000),
+            (2, 15_000_000, 520_000_000),
+            (3, 0, 500_000_000),
+        ]
+        qdf = spark.createDataFrame(
+            queries, "query_id long, qlon long, qlat long"
+        )
+        plans = []
+        cell = knn_cell_join(queries, points_df, 5, spark=spark,
+                             plan_capture=plans)
+        brute = knn_join(qdf, points_df, 5)
+        crows = sorted(
+            (r["query_id"], r["rank"], r["node_id"], r["dist2"])
+            for r in cell.collect()
+        )
+        brows = sorted(
+            (r["query_id"], r["rank"], r["node_id"], r["dist2"])
+            for r in brute.collect()
+        )
+        assert crows == brows
+        assert len(plans) >= 2  # >=1 escalation round + the final pass
+        for p in plans:
+            assert "BroadcastNestedLoopJoin" not in p, p[:3000]
+            assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, \
+                p[:3000]
