@@ -968,10 +968,125 @@ group by b.group_cell"""
     )
 
 
+# ------------------------------------------------- way_area oracle pieces
+#
+# Cross-engine float story (the round-2 blocker, solved in three parts):
+#   1. ARITHMETIC (merc x, shoelace terms, the fold, abs/2) is IEEE-754
+#      double with identical operation ORDER on both sides — DuckDB's
+#      list_reduce is a sequential left fold exactly like the engine's
+#      position-wise accumulation in qtcore.rings.ring_areas_vectorized,
+#      so these bits match by construction.  DuckDB literals must be
+#      e-notation (plain decimals parse as DECIMAL, not DOUBLE).
+#   2. TRANSCENDENTALS (the mercator y = ln(tan(...))) are NOT portable:
+#      numpy's SIMD ln/tan differ from libm by 1 ulp on ~25-40% of inputs
+#      (measured in-container).  y depends only on the integer lat, so the
+#      lazy oracle builder freezes a ylut(lat, y) VALUES table — distinct
+#      lats read from the parquet via DuckDB, y computed by the engine's
+#      transform, serialized via repr() (shortest round-trip form, parsed
+#      back bit-exact by DuckDB's strtod).
+#   3. INDEPENDENCE of the frozen transform is guarded by pytest, not the
+#      gate: tests/test_geometry.py checks the numpy transform against
+#      libm (math.*) within a small ulp bound over the full lat domain,
+#      and numpy's batch evaluation is position-independent (verified:
+#      same value -> same bits at any array offset/length).  The gate then
+#      verifies everything downstream of the transform bit-exactly.
+
+_AREA_FOLD_CTES = """kp as (
+  select way_id, rn, lon, lat,
+         (rn = 1 or lon <> lag(lon) over wd or lat <> lag(lat) over wd)
+           as keep
+  from pts
+  window wd as (partition by way_id order by rn)
+),
+kp2 as (
+  select way_id, lon, lat,
+         row_number() over (partition by way_id order by rn) as rn2
+  from kp where keep
+),
+xy as (
+  select k.way_id, k.rn2,
+         count(*) over (partition by k.way_id) as m,
+         ((k.lon * 1e-07) * 20037508.3428e0) / 180e0 as x,
+         y.y as y
+  from kp2 k join ylut y using (lat)
+),
+terms as (
+  select way_id, rn2, m,
+         case when rn2 < m then x * (lead(y) over wf - lag(y) over wf)
+              else first_value(x) over wf
+                   * (nth_value(y, 2) over wf - lag(y) over wf) end as t
+  from xy
+  window wf as (partition by way_id order by rn2
+                rows between unbounded preceding and unbounded following)
+  qualify rn2 >= 2
+),
+warea as (
+  select way_id,
+         case when max(m) >= 4
+              then abs(list_reduce(list(t order by rn2), (a, b) -> a + b))
+                   / 2e0
+              else 0e0 end as way_area
+  from terms group by way_id
+)"""
+
+
+def _dlit(v) -> str:
+    """Float -> DuckDB DOUBLE literal: repr() is the shortest string that
+    round-trips to the same float64; force e-notation so DuckDB does not
+    parse it as DECIMAL."""
+    s = repr(float(v))
+    return s if ("e" in s or "E" in s or "n" in s) else s + "e0"
+
+
+_ylut_cache: dict = {}
+
+
+def _ylut_cte() -> str | None:
+    """ylut(lat, y) VALUES CTE — web-mercator y per DISTINCT node lat.
+    Lats come from a DuckDB pass over the oracle parquet (the same synth
+    SQL both sides share); y from the engine transform (see the
+    independence note above).  None when the parquet is unavailable."""
+    import os
+
+    sf_dir = (
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+        or os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
+        or "/root/testdata/sf0.01"
+    )
+    if sf_dir in _ylut_cache:
+        return _ylut_cache[sf_dir]
+    try:
+        import duckdb
+        import numpy as np
+
+        con = duckdb.connect()
+        con.execute(
+            "create view part as select * from "
+            f"read_parquet('{sf_dir}/part.parquet')"
+        )
+        lats = con.execute(
+            tpch.synth_cte_prefix("nodes")
+            + "\nselect distinct lat from nodes"
+        ).fetchnumpy()["lat"].astype(np.int64)
+        con.close()
+    except Exception:
+        return None
+    from .qtcore.rings import _merc_xy_arrays
+
+    _, ys = _merc_xy_arrays(np.zeros(len(lats), dtype=np.int64), lats)
+    out = "ylut(lat, y) as (values " + ", ".join(
+        f"({int(a)}, {_dlit(b)})" for a, b in zip(lats, ys)
+    ) + ")"
+    _ylut_cache[sf_dir] = out
+    return out
+
+
 def q26_way_geometry(spark, sf_dir) -> DataFrame:
     """Way geometry construction: ordered coords assembly, closed-ring
-    detection, polygon/linestring split, native bbox
-    (makegeometries.go:139-189)."""
+    detection, polygon/linestring split, native bbox, and the mercator
+    shoelace way_area (makegeometries.go:139-189, zorder.go:133-199) —
+    way_area is HASH-VERIFIED bit-exactly against the DuckDB sequential
+    fold (q26_oracle_build)."""
     _prep(spark, sf_dir)
     from .operators.geometry import add_way_coords, make_way_geometries
 
@@ -979,14 +1094,18 @@ def q26_way_geometry(spark, sf_dir) -> DataFrame:
     g = make_way_geometries(wc, way_tags=None)
     return g.select(
         "way_id", "geom_type", "minx", "miny", "maxx", "maxy",
-        F.size("refs").alias("n_points"),
+        F.size("refs").alias("n_points"), "way_area",
     )
 
 
-def q26_oracle() -> str:
+def q26_oracle_build() -> str | None:
+    ylut = _ylut_cte()
+    if ylut is None:
+        return None
     return (
         tpch.synth_cte_prefix("nodes", "way_refs")
-        + """,
+        + f""",
+{ylut},
 pts as (
   select w.way_id, w.pos, w.ref, n.lon, n.lat,
          row_number() over (partition by w.way_id order by w.pos, w.ref)
@@ -1001,12 +1120,98 @@ ends as (
          min(lon) as minx, min(lat) as miny,
          max(lon) as maxx, max(lat) as maxy
   from pts group by way_id, n_points
-)
-select way_id,
-       case when n_points >= 3 and first_ref = last_ref then 3 else 2 end
-         as geom_type,
-       minx, miny, maxx, maxy, cast(n_points as int) as n_points
-from ends"""
+),
+closedw as (
+  select way_id from ends where n_points >= 3 and first_ref = last_ref
+),
+{_AREA_FOLD_CTES}
+select e.way_id,
+       case when c.way_id is not null then 3 else 2 end as geom_type,
+       e.minx, e.miny, e.maxx, e.maxy,
+       cast(e.n_points as int) as n_points,
+       case when c.way_id is not null then coalesce(w.way_area, 0e0)
+            else 0e0 end as way_area
+from ends e
+left join closedw c using (way_id)
+left join warea w using (way_id)"""
+    )
+
+
+# all-ways-closed synthesis: append each way's first ref after its last
+# pos, turning every >=2-ref way into a ring — mass coverage for the
+# polygon area path (q26's natural layer closes only a handful of ways).
+# Dialect-neutral: runs verbatim in Spark SQL and as DuckDB oracle CTEs.
+_WAY_REFS_CLOSED_CTES = """wr_stats as (
+  select way_id, min(pos) as min_pos, max(pos) as max_pos
+  from way_refs group by way_id
+),
+firstr as (
+  select w.way_id, w.ref as first_ref
+  from way_refs w join wr_stats s
+    on w.way_id = s.way_id and w.pos = s.min_pos
+),
+way_refs_closed as (
+  select way_id, pos, ref from way_refs
+  union all
+  select s.way_id, s.max_pos + 1 as pos, f.first_ref as ref
+  from wr_stats s join firstr f on s.way_id = f.way_id
+)"""
+
+
+def q38_way_area(spark, sf_dir) -> DataFrame:
+    """Mercator polygon area over EVERY way, closed by ring-completing
+    synthesis: drop-repeats, orientation-free single-ring shoelace with
+    sequential float64 fold, degenerate (<4 kept points) -> 0.0
+    (zorder.go:133-199 via qtcore.rings.ring_areas_vectorized).  The
+    oracle replays the identical fold in DuckDB over the frozen mercator-y
+    lookup — every area value hash-verified bit-exactly."""
+    _prep(spark, sf_dir)
+    from .operators.geometry import add_way_coords, make_way_geometries
+
+    closed_refs = spark.sql(
+        "with " + _WAY_REFS_CLOSED_CTES + "\nselect * from way_refs_closed"
+    )
+    wc = add_way_coords(closed_refs, spark.table("nodes"))
+    g = make_way_geometries(wc, way_tags=None)
+    return g.select(
+        "way_id", "geom_type", F.size("refs").alias("n_points"), "way_area"
+    )
+
+
+def q38_oracle_build() -> str | None:
+    ylut = _ylut_cte()
+    if ylut is None:
+        return None
+    return (
+        tpch.synth_cte_prefix("nodes", "way_refs")
+        + f""",
+{_WAY_REFS_CLOSED_CTES},
+{ylut},
+pts as (
+  select w.way_id, w.ref, n.lon, n.lat,
+         row_number() over (partition by w.way_id order by w.pos, w.ref)
+           as rn,
+         count(*) over (partition by w.way_id) as n_points
+  from way_refs_closed w join nodes n on w.ref = n.node_id
+),
+ends as (
+  select way_id, n_points,
+         min(case when rn = 1 then ref end) as first_ref,
+         min(case when rn = n_points then ref end) as last_ref
+  from pts group by way_id, n_points
+),
+closedw as (
+  select way_id from ends where n_points >= 3 and first_ref = last_ref
+),
+{_AREA_FOLD_CTES}
+select e.way_id,
+       case when c.way_id is not null then 3 else 2 end as geom_type,
+       cast(e.n_points as int) as n_points,
+       case when c.way_id is not null then coalesce(w.way_area, 0e0)
+            else 0e0 end as way_area
+from ends e
+left join closedw c using (way_id)
+left join warea w using (way_id)"""
     )
 
 
@@ -1062,7 +1267,7 @@ def q27_multipolygon(spark, sf_dir) -> DataFrame:
     out = assemble_multipolygons(members, wc, rel_tags=rel_tags,
                                  way_tags=way_tags)
     return out.select(
-        "rel_id", "geom_type", "n_rings", "n_groups",
+        "rel_id", "geom_type", "n_rings", "n_groups", "way_area",
         "minx", "miny", "maxx", "maxy", "z_order",
         F.expr(
             "array_join(array_sort(transform(map_entries(tags),"
@@ -1130,28 +1335,40 @@ def q27_oracle() -> str:
                 for k, v in rt.items():
                     if wtags[wid].get(k) == v:
                         dels.append((wid, k))
+        # same accumulation as assemble_multipolygons: scalar polygon_area
+        # per ring group, collapsed rings contribute 0 (the float value is
+        # hash-verified; it round-trips through _dlit bit-exactly)
+        area = 0.0
+        for g in groups:
+            try:
+                area += R.polygon_area(g)
+            except ValueError:
+                pass
         pts = [p for g in groups for ring in g for p in ring]
         gt = GEOM_POLYGON if len(groups) == 1 else GEOM_MULTIPOLYGON
         tags_sig = ";".join(sorted(f"{k}={v}" for k, v in rt.items()))
         del_sig = ";".join(sorted(f"{w}:{k}" for w, k in dels))
         out_rows.append((
-            rid, gt, sum(len(g) for g in groups), len(groups),
+            rid, gt, sum(len(g) for g in groups), len(groups), area,
             min(p[1] for p in pts), min(p[2] for p in pts),
             max(p[1] for p in pts), max(p[2] for p in pts),
             zo, tags_sig, del_sig,
         ))
 
     cols = ("rel_id bigint, geom_type integer, n_rings integer, "
-            "n_groups integer, minx bigint, miny bigint, maxx bigint, "
+            "n_groups integer, way_area double, "
+            "minx bigint, miny bigint, maxx bigint, "
             "maxy bigint, z_order bigint, tags_sig varchar, del_sig varchar")
     if not out_rows:
-        return (f"select * from (values (0,0,0,0,0,0,0,0,0,'','')) "
+        return (f"select * from (values (0,0,0,0,0e0,0,0,0,0,0,'','')) "
                 f"as t({', '.join(c.split()[0] for c in cols.split(', '))})"
                 f" where false")
 
     def _lit(v):
         if isinstance(v, str):
             return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, float):
+            return _dlit(v)
         return str(int(v))
 
     vals = ",\n  ".join(
@@ -1811,6 +2028,7 @@ GATE_QUERIES = {
     "q35_wkb_roundtrip": q35_wkb_roundtrip,
     "q36_partitioned_scan": q36_partitioned_scan,
     "q37_way_geometry_tags": q37_way_geometry_tags,
+    "q38_way_area": q38_way_area,
 }
 
 class _LazyOracles(dict):
@@ -1875,7 +2093,7 @@ GATE_ORACLES = _LazyOracles({
     "q23_embed_neardup_lsh": q23_oracle(),
     "q24_knn_cells": q08_oracle(),  # cell expansion must equal brute force
     "q25_tile_groups": q25_oracle_build,  # lazy: needs a DuckDB build pass
-    "q26_way_geometry": q26_oracle(),
+    "q26_way_geometry": q26_oracle_build,  # lazy: freezes the mercator-y LUT
     "q27_multipolygon": q27_oracle(),
     "q28_windowed_events": q28_oracle(),
     "q29_complete_ways": q29_oracle(),
@@ -1887,6 +2105,7 @@ GATE_ORACLES = _LazyOracles({
     "q35_wkb_roundtrip": q35_oracle(),
     "q36_partitioned_scan": q36_oracle(),
     "q37_way_geometry_tags": q37_oracle(),
+    "q38_way_area": q38_oracle_build,  # lazy: freezes the mercator-y LUT
 })
 
 

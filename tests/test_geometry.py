@@ -398,3 +398,67 @@ class TestSparkGeometry:
         assert "natural" not in tags  # boundary: no outer-tag inheritance
         assert tags["boundary"] == "administrative"
         assert rows[0]["del_pairs"] == []  # and no deletions either
+
+
+class TestMercYIndependence:
+    """Guards for the frozen mercator-y oracle LUT (gate._ylut_cte): the
+    gate verifies everything downstream of the y transform bit-exactly in
+    DuckDB, and these tests pin the transform itself against an
+    INDEPENDENT implementation (libm via math.*) plus numpy's batch
+    position-independence."""
+
+    def test_numpy_y_matches_libm_within_ulps(self):
+        import math
+
+        import numpy as np
+
+        from osmquadtree_depreceated_spark.qtcore.rings import (
+            _merc_xy_arrays,
+        )
+
+        rng = np.random.default_rng(11)
+        lats = np.concatenate([
+            rng.integers(-850_000_000, 850_000_000, 20000),
+            np.array([0, 1, -1, 500_000_000, 520_000_000,
+                      -850_000_000, 850_000_000]),
+        ])
+        _, ynp = _merc_xy_arrays(np.zeros(len(lats), dtype=np.int64), lats)
+        ym = np.array([
+            math.log(math.tan(math.pi * (1.0 + int(v) * 0.0000001 / 90.0)
+                              / 4.0))
+            * 90.0 / math.pi * 20037508.3428 / 90.0
+            for v in lats
+        ])
+        # numpy SIMD ln/tan differ from libm by ~1 ulp each on a minority
+        # of inputs.  Near lat=0 the log(tan(~pi/4)) cancellation turns
+        # those input ulps into large OUTPUT-ulp counts (y -> 0 so ulp(y)
+        # collapses), so the meaningful independence bound is absolute
+        # error in mercator meters: the transforms agree to ~1e-9 m over
+        # the full +/-85 degree domain — vs the ~0.011 m resolution of the
+        # 1e-7-degree fixed-point inputs (six orders of margin), and
+        # relative agreement away from the equator is ~1e-13.
+        absd = np.abs(ynp - ym)
+        assert float(absd.max()) < 1e-8, float(absd.max())
+        big = np.abs(ym) > 1.0
+        rel = absd[big] / np.abs(ym[big])
+        assert float(rel.max()) < 1e-12, float(rel.max())
+
+    def test_numpy_y_is_position_independent(self):
+        import numpy as np
+
+        from osmquadtree_depreceated_spark.qtcore.rings import (
+            _merc_xy_arrays,
+        )
+
+        rng = np.random.default_rng(12)
+        lats = rng.integers(-850_000_000, 850_000_000, 4096)
+        _, base = _merc_xy_arrays(np.zeros(len(lats), dtype=np.int64), lats)
+        for off in (1, 3, 7, 13, 31):
+            pad = np.concatenate([lats[:off], lats])
+            _, y2 = _merc_xy_arrays(np.zeros(len(pad), dtype=np.int64), pad)
+            assert np.array_equal(base, y2[off:])
+        # scalar (length-1) evaluation matches batch evaluation bit-for-bit
+        for i in range(0, 256, 17):
+            _, y1 = _merc_xy_arrays(np.zeros(1, dtype=np.int64),
+                                    lats[i:i + 1])
+            assert y1[0] == base[i]
