@@ -1266,9 +1266,14 @@ def q27_multipolygon(spark, sf_dir) -> DataFrame:
     )
     out = assemble_multipolygons(members, wc, rel_tags=rel_tags,
                                  way_tags=way_tags)
+    from .functions.wkb import wkb_collection_udf
+
+    out = out.withColumn("wkb", wkb_collection_udf()(F.col("rings")))
     return out.select(
         "rel_id", "geom_type", "n_rings", "n_groups", "way_area",
-        "minx", "miny", "maxx", "maxy", "z_order",
+        "minx", "miny", "maxx", "maxy", "z_order", "cell",
+        F.length("wkb").alias("wkb_len"),
+        F.lower(F.hex(F.expr("substring(wkb, 1, 9)"))).alias("hdr_hex"),
         F.expr(
             "array_join(array_sort(transform(map_entries(tags),"
             " e -> concat(e.key, '=', e.value))), ';')"
@@ -1337,7 +1342,10 @@ def q27_oracle() -> str:
                         dels.append((wid, k))
         # same accumulation as assemble_multipolygons: scalar polygon_area
         # per ring group, collapsed rings contribute 0 (the float value is
-        # hash-verified; it round-trips through _dlit bit-exactly)
+        # hash-verified; it round-trips through _dlit bit-exactly).  The
+        # loop also mutates the rings (drop-repeats + orientation flips)
+        # exactly like the engine, so the WKB length arithmetic below sees
+        # the same post-fix point counts.
         area = 0.0
         for g in groups:
             try:
@@ -1348,21 +1356,54 @@ def q27_oracle() -> str:
         gt = GEOM_POLYGON if len(groups) == 1 else GEOM_MULTIPOLYGON
         tags_sig = ";".join(sorted(f"{k}={v}" for k, v in rt.items()))
         del_sig = ";".join(sorted(f"{w}:{k}" for w, k in dels))
+        # GEOMETRYCOLLECTION-of-POLYGON structural bytes, arithmetically:
+        # 9-byte collection header, 9-byte polygon header per group,
+        # 4-byte ring count + 16 bytes/point per ring
+        wkb_len = 9 + sum(
+            9 + sum(4 + 16 * len(ring) for ring in g) for g in groups
+        )
+        hdr_hex = "00%08x%08x" % (7, len(groups))
         out_rows.append((
             rid, gt, sum(len(g) for g in groups), len(groups), area,
             min(p[1] for p in pts), min(p[2] for p in pts),
             max(p[1] for p in pts), max(p[2] for p in pts),
-            zo, tags_sig, del_sig,
+            zo, wkb_len, hdr_hex, tags_sig, del_sig,
         ))
 
     cols = ("rel_id bigint, geom_type integer, n_rings integer, "
             "n_groups integer, way_area double, "
             "minx bigint, miny bigint, maxx bigint, "
-            "maxy bigint, z_order bigint, tags_sig varchar, del_sig varchar")
+            "maxy bigint, z_order bigint, cell bigint, wkb_len integer, "
+            "hdr_hex varchar, tags_sig varchar, del_sig varchar")
     if not out_rows:
-        return (f"select * from (values (0,0,0,0,0e0,0,0,0,0,0,'','')) "
+        return (f"select * from (values (0,0,0,0,0e0,0,0,0,0,0,0,0,'','','')) "
                 f"as t({', '.join(c.split()[0] for c in cols.split(', '))})"
                 f" where false")
+
+    # cell per relation: the INDEPENDENT DuckDB buffered-descent CTE
+    # (oracle/duck_calc.py, the same second implementation q03-q05 verify
+    # against), buffer 0.025 per geometry.go:311-317
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        bbox_vals = ", ".join(
+            f"({r[0]}, {r[5]}, {r[6]}, {r[7]}, {r[8]})" for r in out_rows
+        )
+        cell_sql = (
+            f"with src(rel_id, minx, miny, maxx, maxy) as "
+            f"(values {bbox_vals}),\n"
+            + calculate_cte_fragments("select * from src", "rel_id",
+                                      0.025, 18, prefix="mp")
+            + "\nselect rel_id, cell from mp_cells"
+        )
+        cell_by_rel = dict(con.execute(cell_sql).fetchall())
+        con.close()
+    except Exception:
+        return None
+    out_rows = [
+        r[:10] + (int(cell_by_rel[r[0]]),) + r[10:] for r in out_rows
+    ]
 
     def _lit(v):
         if isinstance(v, str):
@@ -1664,13 +1705,25 @@ from documents"""
 
 
 def q31_node_parent(spark, sf_dir) -> DataFrame:
-    """Node inherits a tag from its max-z-order parent way
-    (AddNodeParent / FindParentHighway, nodeparent.go:13-26,
-    zorder.go:242-279).  Way attributes synthesized deterministically."""
+    """Node inherits the highway value from its max-z-order parent way —
+    with the z-order COMPUTED from the REWRITTEN way tags, composing
+    with_tag_rewrite + with_zorder into AddNodeParent exactly as the
+    reference chains them (FindParentHighway picks the parent by the
+    way's computed z-order, nodeparent.go:13-26, zorder.go:242-279).
+    The oracle re-derives the same z-order arithmetically in SQL."""
     _prep(spark, sf_dir)
     from .operators.attrs import add_node_parent
+    from .operators.geometry import with_tag_rewrite
 
-    way_attrs = spark.sql(_WAY_ATTRS_SQL)
+    way_tags = spark.sql(_WAY_TAGS_SPARK_SQL)
+    rw = with_tag_rewrite(way_tags, "way")
+    way_attrs = (
+        rw.select(
+            "way_id", "z_order",
+            F.element_at(F.col("tags_out"), "highway").alias("value"),
+        )
+        .filter(F.col("value").isNotNull())
+    )
     out = add_node_parent(
         spark.table("nodes").select("node_id"),
         spark.table("way_refs"), way_attrs,
@@ -1678,20 +1731,29 @@ def q31_node_parent(spark, sf_dir) -> DataFrame:
     return out.filter(F.col("parent_highway").isNotNull())
 
 
-_WAY_ATTRS_SQL = """
-select distinct way_id,
-  (way_id * 7) % 10 as z_order,
-  concat('hw', cast(way_id % 5 as string)) as value
-from way_refs where way_id % 3 = 0
-"""
-
-
 def q31_oracle() -> str:
+    from .qtcore.rings import HIGHWAY_ORDER
+
+    hw_c, hw_v = _WAY_TAG_CASES["highway"]
+    rank = " ".join(
+        f"when hw = '{k}' then {v}"
+        for k, v in sorted(HIGHWAY_ORDER.items())
+    )
     return (
         tpch.synth_cte_prefix("way_refs")
         + f""",
-wa as ({_WAY_ATTRS_SQL.replace("cast(way_id % 5 as string)",
-                               "cast(way_id % 5 as varchar)")}),
+wt as (
+  select way_id, case when {hw_c} then {hw_v} end as hw
+  from (select distinct way_id from way_refs) w
+),
+wa as (
+  select way_id, hw as value,
+         -- computed z-order over the rewritten tags: highway rank when
+         -- rank > 1, else 0 (folded keys never contribute)
+         cast(case when (case {rank} else 0 end) > 1
+              then (case {rank} else 0 end) else 0 end as bigint) as z_order
+  from wt where hw is not null
+),
 ranked as (
   select w.ref as node_id, a.value,
          row_number() over (partition by w.ref
@@ -2094,7 +2156,7 @@ GATE_ORACLES = _LazyOracles({
     "q24_knn_cells": q08_oracle(),  # cell expansion must equal brute force
     "q25_tile_groups": q25_oracle_build,  # lazy: needs a DuckDB build pass
     "q26_way_geometry": q26_oracle_build,  # lazy: freezes the mercator-y LUT
-    "q27_multipolygon": q27_oracle(),
+    "q27_multipolygon": q27_oracle,  # lazy: DuckDB cell pass at build time
     "q28_windowed_events": q28_oracle(),
     "q29_complete_ways": q29_oracle(),
     "q30_media_features": q30_oracle(),

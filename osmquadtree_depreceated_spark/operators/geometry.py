@@ -30,6 +30,32 @@ from ..qtcore import rings as R
 GEOM_POINT, GEOM_LINESTRING, GEOM_POLYGON, GEOM_MULTIPOLYGON = 1, 2, 3, 7
 
 
+# regex (as a Spark SQL string literal) matching any char the verbatim
+# JSON fold can't emit: outside printable ASCII, or '"', or '\'
+_JSON_RISKY_RE = r"[^\\x20-\\x21\\x23-\\x5B\\x5D-\\x7E]"
+
+
+def _json_fold_udf():
+    """Arrow-batched escape-capable other_tags fold: exact json.dumps
+    (sorted keys, compact separators — the add_other_tags semantic,
+    qtcore/tags.py) for rows the native verbatim fold can't serialize.
+    Receives NULL for safe rows, so per-row cost is only paid where
+    escaping is actually needed."""
+    import json
+
+    @F.pandas_udf("string")
+    def _jfold(m: pd.Series) -> pd.Series:
+        def f(entries):
+            if entries is None:
+                return None
+            d = entries if isinstance(entries, dict) else dict(entries)
+            return json.dumps(d, sort_keys=True, separators=(",", ":"))
+
+        return m.map(f)
+
+    return _jfold
+
+
 def with_tag_rewrite(df: DataFrame, which: str = "way",
                      tag_filter: dict | None = None,
                      tags_col: str = "tags") -> DataFrame:
@@ -45,11 +71,14 @@ def with_tag_rewrite(df: DataFrame, which: str = "way",
                        iteration order), layer*10, bridge/tunnel +/-1,
                        explicit z_order override
 
-    All columns are pure Catalyst expressions (stepped withColumns — zero
-    Python).  JSON note: values are emitted unescaped; this equals
-    json.Marshal/json.dumps output for values without ", \\ or control
-    chars (the fixture model; an escape-capable pandas-UDF fold would slot
-    in here for arbitrary payloads).  Scalar reference:
+    All hot-path columns are pure Catalyst expressions (stepped
+    withColumns).  JSON escaping: the native fold emits values verbatim,
+    which equals json.dumps output only for printable-ASCII payloads
+    without " or \\.  Rows whose folded keys/values fall outside that set
+    are detected natively (one rlike over the fold entries) and routed
+    through an Arrow-batched json.dumps fallback — the UDF receives NULL
+    for every safe row, so arbitrary payloads are always well-formed JSON
+    while the common case stays JVM-side.  Scalar reference:
     qtcore/tags.py (property-tested parity).
     """
     from ..qtcore.tags import DEFAULT_TAG_FILTER
@@ -122,12 +151,29 @@ def with_tag_rewrite(df: DataFrame, which: str = "way",
                 f"|| '}}'"
             ),
         )
+        # chars the verbatim fold cannot emit as valid JSON: anything
+        # outside printable ASCII minus '"' (x22) and '\' (x5C)
+        .withColumn(
+            f"{t}_risky",
+            F.expr(
+                f"exists(map_entries({t}_fold), e -> "
+                f"e.key rlike '{_JSON_RISKY_RE}' "
+                f"or e.value rlike '{_JSON_RISKY_RE}')"
+            ),
+        )
+        .withColumn(
+            f"{t}_jesc",
+            _json_fold_udf()(
+                F.expr(f"case when {t}_need and {t}_risky "
+                       f"then {t}_fold end")
+            ),
+        )
         .withColumn(
             "tags_out",
             F.expr(
                 f"case when {tc} is null then null "
-                f"when {t}_need then "
-                f"map_concat({t}_kept, map('other_tags', {t}_json)) "
+                f"when {t}_need then map_concat({t}_kept, "
+                f"map('other_tags', coalesce({t}_jesc, {t}_json))) "
                 f"else {t}_kept end"
             ),
         )
@@ -482,7 +528,12 @@ def assemble_multipolygons(rel_way_members: DataFrame,
             ]
         )
 
-    return joined.groupBy("rel_id").applyInPandas(_assemble, _MP_SCHEMA)
+    out = joined.groupBy("rel_id").applyInPandas(_assemble, _MP_SCHEMA)
+    # relations re-Calculate their quadtree cell from the assembled bbox
+    # with buffer 0.025, exactly like ways (geometry/geometry.go:311-317)
+    # — without it the features can't be tiled/served
+    calc = cell_of_bbox_udf(0.025, 18)
+    return out.withColumn("cell", calc("minx", "miny", "maxx", "maxy"))
 
 
 _MP_COLS = ["rel_id", "geom_type", "n_rings", "n_groups", "way_area",

@@ -67,6 +67,57 @@ def stream_apply_changes(spark: SparkSession, store: SnapshotStore,
     )
 
 
+def stream_update_tiles(spark: SparkSession, store: SnapshotStore,
+                        base_stage: str, way_refs: DataFrame,
+                        stream_df: DataFrame, checkpoint_dir: str,
+                        buffer: float = 0.05, max_level: int = 18,
+                        group_level: int = 12):
+    """STREAMING CalcUpdateTiles: each micro-batch of node changes runs the
+    full incremental pipeline (operators/update.calc_update_tiles —
+    merge/affected-set/cell-recompute, update.go:343-540) against the
+    latest committed snapshot of the nodes / way-cell / node-cell tables,
+    then commits the merged tables plus the batch's affected-tile set as
+    the next snapshot stages.  Incremental-across-batches == one full
+    recompute over the merged input (asserted in pytest against the q33
+    oracle logic).
+
+    Requires base stages `{base_stage}_nodes`, `{base_stage}_wc`,
+    `{base_stage}_nc` committed before starting.  stream_df: streaming
+    (node_id, seq, change_type, lon, lat).  Offsets checkpoint to
+    `checkpoint_dir`; already-committed batch stages are skipped on
+    replay — both halves of exactly-once resume."""
+    from ..operators.update import calc_update_tiles
+
+    def _apply(batch_df: DataFrame, batch_id: int):
+        stage = f"{base_stage}_nodes@s{batch_id}"
+        if store.has(stage) or batch_df.isEmpty():
+            return
+        nodes = store.read(spark, _latest_stage(store,
+                                                f"{base_stage}_nodes"))
+        wc = store.read(spark, _latest_stage(store, f"{base_stage}_wc"))
+        nc = store.read(spark, _latest_stage(store, f"{base_stage}_nc"))
+        out = calc_update_tiles(
+            nodes, way_refs, wc, nc, batch_df,
+            buffer=buffer, max_level=max_level, group_level=group_level,
+        )
+        store.write(spark, f"{base_stage}_wc@s{batch_id}",
+                    out["way_cells"], "cell")
+        store.write(spark, f"{base_stage}_nc@s{batch_id}",
+                    out["node_cells"], "cell")
+        store.write(spark, f"{base_stage}_tiles@s{batch_id}",
+                    out["affected_tiles"], None)
+        # nodes stage last: its presence marks the batch fully committed
+        # (the skip guard above keys on it)
+        store.write(spark, stage, out["nodes"], None)
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_windowed_rollup(events_stream: DataFrame, ts_col: str = "ts",
                            window_dur: str = "1 hour",
                            watermark: str = "2 hours",

@@ -159,8 +159,8 @@ class TestTagRewrite:
         {"area": "yes", "foo": "bar"},
         {"area": "no"},
         {"boundary": "administrative"},
-        # note: native fold emits values unescaped (documented: equals
-        # json.dumps only for quote/backslash-free values, the fixture model)
+        # safe payloads take the native verbatim fold; risky ones (see
+        # ADVERSARIAL below) route through the json.dumps fallback
         {"other_tags": "prior", "zzz": "1"},
         {"other_tags": "old", "name": "n"},
         {"name": "plain"},
@@ -185,6 +185,44 @@ class TestTagRewrite:
             assert dict(r["tags_out"] or {}) == newtags, c
             assert r["is_poly"] == isp, c
             assert r["z_order"] == zo, c
+
+    ADVERSARIAL = [
+        {"k1": 'va"lue', "name": "n"},            # quote
+        {"k2": "back\\slash"},                     # backslash
+        {"k3": "line\nbreak", "k4": "tab\there"},  # control chars
+        {"k5": "unicode é中"},            # non-ASCII
+        {'q"key': "v", "name": "x"},               # risky key
+        {"other_tags": '{"nested":"json"}'},       # nested payload
+        {"mixed": "safe", "bad": 'a"b\\c\nd'},     # safe+risky together
+        {"del": "\x7f\x01"},                       # other control chars
+    ]
+
+    def test_escaped_fold_matches_json_dumps(self, spark):
+        """Round-3: adversarial payloads (quotes, backslashes, control
+        chars, unicode) must produce EXACT json.dumps output via the
+        escape fallback, while safe rows keep the native fold."""
+        from osmquadtree_depreceated_spark.operators.geometry import (
+            with_tag_rewrite,
+        )
+        from osmquadtree_depreceated_spark.qtcore import tags as T
+
+        cases = self.CASES + self.ADVERSARIAL
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cases)],
+            "id long, tags map<string,string>",
+        )
+        rows = {r["id"]: r for r in with_tag_rewrite(df, "way").collect()}
+        import json
+
+        for i, c in enumerate(cases):
+            zo, isp, newtags = T.way_tags_filter(c)
+            got = dict(rows[i]["tags_out"] or {})
+            assert got == newtags, (c, got, newtags)
+            if "other_tags" in newtags:
+                # and the payload is well-formed JSON round-tripping to
+                # the folded entries
+                decoded = json.loads(got["other_tags"])
+                assert isinstance(decoded, dict)
 
     def test_native_node_rewrite_matches_scalar(self, spark):
         from osmquadtree_depreceated_spark.operators.geometry import (

@@ -102,3 +102,84 @@ def test_store_commit_and_resume(spark, base, tmp_path):
     )
     rows = store.lineage_rows("way_cells@b42")
     assert rows and all(r["row_count"] >= 0 for r in rows)
+
+
+def test_streaming_update_tiles_equals_full_recompute(spark, base, tmp_path):
+    """Round-3: 3 change micro-batches streamed through calc_update_tiles
+    (stream_update_tiles) converge to exactly the tables a single full
+    recompute over the fully-merged input produces (the q33 oracle rule),
+    with one committed snapshot chain per batch."""
+    import time
+
+    from osmquadtree_depreceated_spark.plans.lineage import SnapshotStore
+    from osmquadtree_depreceated_spark.streaming.changes import (
+        stream_update_tiles,
+    )
+
+    nodes, way_refs, wc, nc = base
+    store = SnapshotStore(str(tmp_path / "store"))
+    store.write(spark, "upd_nodes", nodes, None)
+    store.write(spark, "upd_wc", wc, "cell")
+    store.write(spark, "upd_nc", nc, "cell")
+
+    batches = [
+        [(1, 1, "modify", -5_500_000, 505_500_000)],
+        [(7, 2, "delete", None, None),
+         (100, 2, "create", 9_000_000, 519_000_000)],
+        [(100, 3, "modify", 9_100_000, 519_100_000),
+         (3, 3, "modify", 3_200_000, 515_200_000)],
+    ]
+    schema = "node_id long, seq long, change_type string, lon long, lat long"
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for i, rows in enumerate(batches):
+        # one file per micro-batch; increasing mtimes keep source order
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(feed / f"b{i}")
+        )
+        time.sleep(0.05)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed / "*"))
+    )
+    q = stream_update_tiles(
+        spark, store, "upd", way_refs, stream,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    # at least one committed batch chain, and the LATEST snapshots equal a
+    # full recompute over the cumulative merged nodes
+    committed = [s for s in range(8) if store.has(f"upd_nodes@s{s}")]
+    assert committed, "no streaming batch committed"
+    from osmquadtree_depreceated_spark.streaming.changes import (
+        _latest_stage,
+    )
+
+    final_nodes = store.read(spark, _latest_stage(store, "upd_nodes"))
+    final_wc = store.read(spark, _latest_stage(store, "upd_wc"))
+    final_nc = store.read(spark, _latest_stage(store, "upd_nc"))
+
+    # expected: batch-mode sequential application of the same batches
+    cur_n, cur_wc, cur_nc = nodes, wc, nc
+    for rows in batches:
+        ch = spark.createDataFrame(rows, schema)
+        out = calc_update_tiles(cur_n, way_refs, cur_wc, cur_nc, ch)
+        cur_n, cur_wc, cur_nc = (
+            out["nodes"], out["way_cells"], out["node_cells"],
+        )
+    want_n = {r["node_id"]: (r["lon"], r["lat"]) for r in cur_n.collect()}
+    got_n = {r["node_id"]: (r["lon"], r["lat"])
+             for r in final_nodes.collect()}
+    assert got_n == want_n
+    # and the incremental tables equal the FULL recompute over merged input
+    want_w, want_nc_ = _full(spark, final_nodes, way_refs)
+    got_w = {r["way_id"]: r["cell"] for r in final_wc.collect()}
+    got_nc = {r["node_id"]: r["cell"] for r in final_nc.collect()}
+    assert got_w == want_w
+    assert got_nc == want_nc_
+    # per-batch affected-tile sets committed alongside
+    for s in committed:
+        assert store.has(f"upd_tiles@s{s}")
