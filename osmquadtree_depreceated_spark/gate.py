@@ -1285,25 +1285,22 @@ def q27_multipolygon(spark, sf_dir) -> DataFrame:
     )
 
 
-def q27_oracle() -> str:
-    """Expected q27 rows via an independent scalar replication over the
-    generator's ground-truth tables (no Spark involved), frozen as VALUES.
-    The ring/tag algebra is the scalar reference (qtcore.rings /
-    qtcore.tags) — the quantities under test are the engine's distributed
-    joins, member-order handling and grouped-map semantics."""
+def _mp_replicate(truth) -> list:
+    """Scalar replication of the multipolygon pass over the generator's
+    ground-truth tables (no Spark involved) — shared by the q27 and q39
+    oracles.  Returns one dict per surviving relation with all structural
+    fields (incl. the post-polygon_area mutated ring groups)."""
     from .qtcore import rings as R
     from .qtcore import tags as T
     from .operators.geometry import GEOM_MULTIPOLYGON, GEOM_POLYGON
-    from .sources.docs import generate_docs
 
-    _, truth = generate_docs(**_Q27_FIXTURE)
     nodes = {nid: (lon, lat) for _, nid, lon, lat in truth["nodes"]}
     ways = {wid: refs for _, wid, refs in truth["ways"]}
     wtags = {
         wid: T.way_tags_filter(truth["tags"].get(("way", wid), {}))[2]
         for wid in ways
     }
-    out_rows = []
+    out = []
     for _, rid, members in truth["rels"]:
         rt = dict(truth["tags"].get(("relation", rid), {}))
         isboundary = "boundary" in rt
@@ -1363,12 +1360,36 @@ def q27_oracle() -> str:
             9 + sum(4 + 16 * len(ring) for ring in g) for g in groups
         )
         hdr_hex = "00%08x%08x" % (7, len(groups))
-        out_rows.append((
-            rid, gt, sum(len(g) for g in groups), len(groups), area,
-            min(p[1] for p in pts), min(p[2] for p in pts),
-            max(p[1] for p in pts), max(p[2] for p in pts),
-            zo, wkb_len, hdr_hex, tags_sig, del_sig,
+        out.append(dict(
+            rel_id=rid, geom_type=gt,
+            n_rings=sum(len(g) for g in groups), n_groups=len(groups),
+            way_area=area,
+            minx=min(p[1] for p in pts), miny=min(p[2] for p in pts),
+            maxx=max(p[1] for p in pts), maxy=max(p[2] for p in pts),
+            z_order=zo, wkb_len=wkb_len, hdr_hex=hdr_hex,
+            tags=rt, dels=dels, tags_sig=tags_sig, del_sig=del_sig,
         ))
+    return out
+
+
+def q27_oracle() -> str | None:
+    """Expected q27 rows via an independent scalar replication over the
+    generator's ground-truth tables (no Spark involved), frozen as VALUES
+    (_mp_replicate).  The ring/tag algebra is the scalar reference
+    (qtcore.rings / qtcore.tags) — the quantities under test are the
+    engine's distributed joins, member ordering and grouped-map
+    semantics."""
+    from .sources.docs import generate_docs
+
+    _, truth = generate_docs(**_Q27_FIXTURE)
+    reps = _mp_replicate(truth)
+    out_rows = [
+        (d["rel_id"], d["geom_type"], d["n_rings"], d["n_groups"],
+         d["way_area"], d["minx"], d["miny"], d["maxx"], d["maxy"],
+         d["z_order"], d["wkb_len"], d["hdr_hex"], d["tags_sig"],
+         d["del_sig"])
+        for d in reps
+    ]
 
     cols = ("rel_id bigint, geom_type integer, n_rings integer, "
             "n_groups integer, way_area double, "
@@ -2050,6 +2071,196 @@ from rw"""
     )
 
 
+_TAGS_SIG_EXPR = (
+    "array_join(array_sort(transform(map_entries(tags),"
+    " e -> concat(e.key, '=', e.value))), ';')"
+)
+
+
+def q39_generate_geometries(spark, sf_dir) -> DataFrame:
+    """The FUSED GenerateGeometries DAG (entry point C,
+    geometry/geometry.go:225-327) end-to-end over the docs fixture:
+    parse -> node points + way geometries + multipolygons + outer-tag
+    deletions -> ONE unified features table -> cell-partitioned write ->
+    full read-back.  Hashes every feature's (kind, id, geom_type, cell,
+    serving tile, z_order, bbox, way_area, tags) — the integration gate
+    that catches cross-stage schema drift the per-operator gates
+    (q26/q27/q31/q34/q37/q38) can't see.  Oracle: scalar replication over
+    the generator's ground truth + independent DuckDB cell descent,
+    frozen as VALUES (q39_oracle_build)."""
+    _prep(spark, sf_dir)
+    import os
+    import tempfile
+
+    from .operators.geometry import generate_geometries
+    from .plans.partitioned import PART_COL, write_cell_partitioned
+    from .sources.docs import docs_to_spark, generate_docs, parse_spans
+
+    rows, _ = generate_docs(**_Q27_FIXTURE)
+    parsed = parse_spans(docs_to_spark(spark, rows))
+    tags = parsed["tags"]
+    nodes = parsed["nodes"].select("node_id", "lon", "lat")
+    node_tags = (
+        parsed["nodes"].select("node_id", "doc_id")
+        .join(tags, "doc_id", "left").select("node_id", "tags")
+    )
+    way_refs = parsed["ways"].select(
+        "way_id", F.posexplode("refs").alias("pos", "ref")
+    )
+    way_tags = (
+        parsed["ways"].select("way_id", "doc_id")
+        .join(tags, "doc_id", "left").select("way_id", "tags")
+    )
+    rel_tags = (
+        parsed["rels"].select("rel_id", "doc_id")
+        .join(tags, "doc_id", "left").select("rel_id", "tags")
+    )
+    members = (
+        parsed["rels"]
+        .select("rel_id", F.posexplode("members").alias("mpos", "m"))
+        .filter(F.col("m.mtype") == "w")
+        .select("rel_id", "mpos", F.col("m.ref").alias("ref"),
+                F.col("m.role").alias("role"))
+    )
+    feats = generate_geometries(
+        nodes, node_tags, way_refs, way_tags, members, rel_tags
+    )
+    # serving round trip: the same fixed-path overwrite scheme as q36
+    work = os.path.join(
+        tempfile.gettempdir(), f"gate_parts_{os.getuid()}", "features"
+    )
+    write_cell_partitioned(feats, work, level=6)
+    back = spark.read.parquet(work)
+    return back.select(
+        "kind", "id", "geom_type", "cell",
+        F.col(PART_COL).cast("long").alias("tile"),
+        "z_order", "minx", "miny", "maxx", "maxy", "way_area",
+        F.expr(_TAGS_SIG_EXPR).alias("tags_sig"),
+    )
+
+
+def q39_oracle_build() -> str | None:
+    """q39 expected rows: scalar replication of all three feature classes
+    over the generator's ground truth (qtcore.tags/rings + _mp_replicate
+    for relations), node point cells + way/relation bbox-descent cells
+    computed by the INDEPENDENT DuckDB implementations (oracle/sqlgen
+    point_cell_sql + oracle/duck_calc descent) in one build-time pass,
+    all frozen as VALUES."""
+    from .qtcore import rings as R
+    from .qtcore import tags as T
+    from .sources.docs import generate_docs
+
+    _, truth = generate_docs(**_Q27_FIXTURE)
+    nodes = {nid: (lon, lat) for _, nid, lon, lat in truth["nodes"]}
+    ways = {wid: refs for _, wid, refs in truth["ways"]}
+
+    feats = []  # (kind, id, geom_type, z_order, bbox4, area, tags_dict)
+    for _, nid, lon, lat in truth["nodes"]:
+        isfeat, nt = T.node_tags_filter(truth["tags"].get(("node", nid), {}))
+        if not isfeat:
+            continue
+        feats.append(("point", nid, 1, 0, lon, lat, lon, lat, 0.0, nt))
+
+    reps = _mp_replicate(truth)
+    del_keys: dict = {}
+    for d in reps:
+        for wid, k in d["dels"]:
+            del_keys.setdefault(wid, set()).add(k)
+
+    tf = T.DEFAULT_TAG_FILTER
+    feature_keys = [k for k, tt in tf.items() if tt.is_way and tt.is_feature]
+    for _, wid, refs in truth["ways"]:
+        if any(r not in nodes for r in refs):
+            continue  # incomplete ways drop in add_way_coords
+        zo, isp, wt = T.way_tags_filter(truth["tags"].get(("way", wid), {}))
+        ring = [(r, nodes[r][0], nodes[r][1]) for r in refs]
+        closed = len(refs) >= 3 and refs[0] == refs[-1]
+        poly = closed and isp
+        gt = 3 if poly else 2
+        area = 0.0
+        if poly:
+            try:
+                area = R.polygon_area([list(ring)])
+            except ValueError:
+                area = 0.0
+        # outer-tag deletions then the standalone feature test
+        wt = {k: v for k, v in wt.items() if k not in del_keys.get(wid, ())}
+        if not any(k in wt for k in feature_keys):
+            continue
+        lons = [p[1] for p in ring]
+        lats = [p[2] for p in ring]
+        feats.append(("way", wid, gt, zo, min(lons), min(lats),
+                      max(lons), max(lats), area, wt))
+
+    for d in reps:
+        feats.append(("relation", d["rel_id"], d["geom_type"],
+                      d["z_order"], d["minx"], d["miny"], d["maxx"],
+                      d["maxy"], d["way_area"], d["tags"]))
+
+    # cells: point closed-form for nodes, buffer-0.025 descent for the
+    # rest — both via the independent DuckDB implementations, one pass
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        pt_vals = ", ".join(
+            f"('{f[0]}', {f[1]}, {f[4]}, {f[5]})"
+            for f in feats if f[0] == "point"
+        ) or "('x', 0, 0, 0)"
+        bx_vals = ", ".join(
+            f"('{f[0]}', {f[1]}, {f[4]}, {f[5]}, {f[6]}, {f[7]})"
+            for f in feats if f[0] != "point"
+        ) or "('x', 0, 0, 0, 0, 0)"
+        pc = sqlgen.point_cell_sql(DUCK, "lon", "lat", 18)
+        cell_sql = (
+            f"with pts(kind, id, lon, lat) as (values {pt_vals}),\n"
+            f"src(kind, id, minx, miny, maxx, maxy) as "
+            f"(values {bx_vals}),\n"
+            + calculate_cte_fragments("select * from src", "kind, id",
+                                      0.025, 18, prefix="gg")
+            + f"\nselect kind, id, {pc} as cell from pts"
+            f"\nunion all select kind, id, cell from gg_cells"
+        )
+        cell_by = {
+            (r[0], r[1]): r[2] for r in con.execute(cell_sql).fetchall()
+        }
+        con.close()
+    except Exception:
+        return None
+
+    def _tile(cell: int) -> int:
+        c = max(int(cell), 0)
+        return c if (c & 31) < 6 else ((c >> 51) << 51) + 6
+
+    rows_sql = ",\n  ".join(
+        "("
+        + ", ".join([
+            f"'{f[0]}'", str(f[1]), str(f[2]),
+            str(int(cell_by[(f[0], f[1])])),
+            str(_tile(int(cell_by[(f[0], f[1])]))),
+            str(f[3]), str(f[4]), str(f[5]), str(f[6]), str(f[7]),
+            _dlit(f[8]),
+            "'" + ";".join(
+                sorted(f"{k}={v}" for k, v in f[9].items())
+            ).replace("'", "''") + "'",
+        ])
+        + ")"
+        for f in feats
+    )
+    return (
+        "select cast(kind as varchar) as kind, cast(id as bigint) as id, "
+        "cast(geom_type as integer) as geom_type, "
+        "cast(cell as bigint) as cell, cast(tile as bigint) as tile, "
+        "cast(z_order as bigint) as z_order, "
+        "cast(minx as bigint) as minx, cast(miny as bigint) as miny, "
+        "cast(maxx as bigint) as maxx, cast(maxy as bigint) as maxy, "
+        "cast(way_area as double) as way_area, "
+        "cast(tags_sig as varchar) as tags_sig "
+        f"from (values\n  {rows_sql}\n) as t(kind, id, geom_type, cell, "
+        "tile, z_order, minx, miny, maxx, maxy, way_area, tags_sig)"
+    )
+
+
 # --------------------------------------------------------------- registry
 
 GATE_QUERIES = {
@@ -2091,6 +2302,7 @@ GATE_QUERIES = {
     "q36_partitioned_scan": q36_partitioned_scan,
     "q37_way_geometry_tags": q37_way_geometry_tags,
     "q38_way_area": q38_way_area,
+    "q39_generate_geometries": q39_generate_geometries,
 }
 
 class _LazyOracles(dict):
@@ -2168,6 +2380,7 @@ GATE_ORACLES = _LazyOracles({
     "q36_partitioned_scan": q36_oracle(),
     "q37_way_geometry_tags": q37_oracle(),
     "q38_way_area": q38_oracle_build,  # lazy: freezes the mercator-y LUT
+    "q39_generate_geometries": q39_oracle_build,  # lazy: DuckDB cell pass
 })
 
 

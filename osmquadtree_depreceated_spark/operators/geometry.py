@@ -588,3 +588,81 @@ def apply_outer_tag_deletions(way_geoms: DataFrame, mp_out: DataFrame,
         f"element_at(tags, '{k}') is not null" for k in feature_keys
     )
     return out.filter(F.expr(f"tags is not null and ({feat})"))
+
+
+def generate_geometries(nodes: DataFrame, node_tags: DataFrame | None,
+                        way_refs: DataFrame, way_tags: DataFrame | None,
+                        rel_members: DataFrame | None,
+                        rel_tags: DataFrame | None,
+                        tag_filter: dict | None = None,
+                        recalc_buffer: float = 0.025,
+                        max_level: int = 18) -> DataFrame:
+    """The fused GenerateGeometries DAG (entry point C,
+    geometry/geometry.go:225-327) — what a user actually runs end-to-end:
+
+      1. node points     = nodeTags rewrite -> feature filter -> point cell
+      2. way coords      = ordered node-location assembly
+      3. way geometries  = wayTags rewrite, ring/poly split, z-order,
+                           mercator area, buffer-`recalc_buffer` cell
+      4. multipolygons   = finishRel assembly + tag merge-back + cell
+      5. outer deletions = relation-inherited tags deleted from member
+                           outer ways; non-feature ways drop
+      6. one unified features table (kind, id, geom_type, cell, z_order,
+         bbox, way_area, tags) ready for tile grouping / partitioned
+         serving (plans/partitioned.py).
+
+    Every seam is the operator gated individually (q26/q27/q31/q34/q37/
+    q38); this function pins the cross-stage schema so the composition
+    itself is testable (gate q39).  nodes: (node_id, lon, lat);
+    node_tags/way_tags/rel_tags: (id, tags map); rel_members:
+    (rel_id, mpos, ref, role).
+    """
+    nt = nodes
+    if node_tags is not None:
+        nt = nodes.join(node_tags, "node_id", "left")
+    else:
+        nt = nodes.withColumn(
+            "tags", F.expr("cast(null as map<string,string>)")
+        )
+    points = make_node_geometries(nt, tag_filter, max_level).select(
+        F.lit("point").alias("kind"),
+        F.col("node_id").alias("id"),
+        "geom_type", "cell",
+        F.lit(0).cast("long").alias("z_order"),
+        "minx", "miny", "maxx", "maxy",
+        F.lit(0.0).alias("way_area"), "tags",
+    )
+
+    wc = add_way_coords(way_refs, nodes)
+    wgeoms = make_way_geometries(
+        wc, way_tags, recalc_buffer, max_level, tag_filter
+    )
+
+    if rel_members is not None:
+        mp = assemble_multipolygons(
+            rel_members, wc,
+            rel_tags=rel_tags,
+            way_tags=wgeoms.select("way_id", "tags"),
+            tag_filter=tag_filter,
+        )
+        rels = mp.select(
+            F.lit("relation").alias("kind"),
+            F.col("rel_id").alias("id"),
+            "geom_type", "cell", "z_order",
+            "minx", "miny", "maxx", "maxy", "way_area", "tags",
+        )
+        ways_final = apply_outer_tag_deletions(wgeoms, mp, tag_filter)
+    else:
+        rels = None
+        ways_final = wgeoms.filter(F.col("is_feature"))
+
+    ways_out = ways_final.select(
+        F.lit("way").alias("kind"),
+        F.col("way_id").alias("id"),
+        "geom_type", "cell", "z_order",
+        "minx", "miny", "maxx", "maxy", "way_area", "tags",
+    )
+    out = points.unionByName(ways_out)
+    if rels is not None:
+        out = out.unionByName(rels)
+    return out
