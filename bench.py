@@ -196,6 +196,7 @@ def _timed_run(cpus: int, amplify: int) -> tuple[dict, float, int]:
         # way-geometry table partitioned on cell_round(cell, 6), then serve
         # the 8 query boxes through partition-pruned scans (file skipping)
         _partitioned_serving(spark, nodes, way_refs, timings)
+        _ann_stage(spark, timings)
         return timings, secs, elements
     finally:
         spark.stop()
@@ -232,6 +233,20 @@ def _partitioned_serving(spark, nodes, way_refs, timings: dict):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _ann_stage(spark, timings: dict):
+    """IVF ANN stage (round-3: evidences the vectorized probe kernel —
+    the per-candidate Python membership loop is gone, so this number
+    tracks matmul + top-k cost, not queries x candidates interpreter
+    work).  Timed separately from the headline pipeline."""
+    from osmquadtree_depreceated_spark.operators.ann import ivf_topk
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    queries = emb.limit(32).select("vec_id", "embedding")
+    t = time.time()
+    _force(ivf_topk(queries, emb, 10))
+    timings["ann_ivf_topk_32q"] = round(time.time() - t, 3)
+
+
 def main():
     timings, secs, elements = _timed_run(CPUS, amplify=1)
     throughput = round(elements / secs, 1)
@@ -257,8 +272,12 @@ def main():
         # by pure-CPU ceiling calibrations; a round is valid only if both
         # calibrations land in a physically-plausible quiet-box range and
         # agree (stable window).  Retry within the time budget.
-        max_rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "3"))
-        budget = float(os.environ.get("BENCH_TIME_BUDGET", "900"))
+        # round-3: more rounds / budget by default — round 2's driver run
+        # exhausted 900s after two unstable-bracketed pairs and the
+        # headline had to fall back to best-of-levels; buying rounds is
+        # the designed way to land a stable pair on a shared box
+        max_rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "6"))
+        budget = float(os.environ.get("BENCH_TIME_BUDGET", "1500"))
         t_start = time.time()
         pairs = []
         for _ in range(max_rounds):
