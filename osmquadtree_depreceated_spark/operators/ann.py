@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 
@@ -36,29 +37,13 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int,
     probabilistic (tested against cosine_topk in pytest); raising n_probe
     to n_centroids degrades gracefully to exact.
     """
-    srows = (
-        candidates.filter(F.col(id_col) % sample_mod == 0)
-        .select(vec_col).limit(50000).collect()
-    )
-    if not srows:  # empty/over-thinned sample: nothing to index
+    C = train_ivf_centroids(candidates, n_centroids, kmeans_iters,
+                            sample_mod, seed, id_col, vec_col)
+    if C is None:  # empty/over-thinned sample: nothing to index
         spark = candidates.sparkSession
         return spark.createDataFrame(
             [], "query_id long, rank int, neighbor_id long"
         )
-    X = np.array([r[0] for r in srows], dtype=np.float64)
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    C = Xn[rng.choice(len(Xn), size=min(n_centroids, len(Xn)),
-                      replace=False)]
-    for _ in range(kmeans_iters):  # spherical k-means on the sample
-        assign = (Xn @ C.T).argmax(axis=1)
-        for j in range(len(C)):
-            m = assign == j
-            if m.any():
-                v = Xn[m].sum(axis=0)
-                n = np.linalg.norm(v)
-                if n > 0:
-                    C[j] = v / n
 
     qrows = queries.select(qid_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
@@ -173,6 +158,129 @@ def cosine_topk(queries: DataFrame, candidates: DataFrame, k: int,
     )
     return (
         local.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def train_ivf_centroids(candidates: DataFrame, n_centroids: int = 32,
+                        kmeans_iters: int = 8, sample_mod: int = 1,
+                        seed: int = 17, id_col: str = "vec_id",
+                        vec_col: str = "embedding"):
+    """Spherical k-means centroids from a deterministic bounded driver
+    sample (id % sample_mod == 0, capped 50k — O(sample) driver memory).
+    Returns a float64 ndarray (n_centroids x dim), unit rows."""
+    srows = (
+        candidates.filter(F.col(id_col) % sample_mod == 0)
+        .select(vec_col).limit(50000).collect()
+    )
+    if not srows:
+        return None
+    X = np.array([r[0] for r in srows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = Xn[rng.choice(len(Xn), size=min(n_centroids, len(Xn)),
+                      replace=False)]
+    for _ in range(kmeans_iters):
+        assign = (Xn @ C.T).argmax(axis=1)
+        for j in range(len(C)):
+            m = assign == j
+            if m.any():
+                v = Xn[m].sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    C[j] = v / n
+    return C
+
+
+def ivf_assign(candidates: DataFrame, C,
+               vec_col: str = "embedding",
+               cell_col: str = "ivf_cell") -> DataFrame:
+    """Materialize the IVF assignment column: nearest centroid per row
+    (one Arrow pass, no shuffle).  At production scale this column is
+    written INTO the table (partitionBy(ivf_cell) / Iceberg identity
+    transform) so probe joins prune partitions — the pattern
+    plans/partitioned.py implements for spatial cells."""
+    Cb = np.ascontiguousarray(C)
+
+    @F.pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        mat = np.array(v.tolist(), dtype=np.float64)
+        matn = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+        )
+        return pd.Series((matn @ Cb.T).argmax(axis=1).astype(np.int32))
+
+    return candidates.withColumn(cell_col, _assign(F.col(vec_col)))
+
+
+def ivf_topk_pruned(queries: DataFrame, candidates: DataFrame, k: int,
+                    n_centroids: int = 32, n_probe: int = 6,
+                    kmeans_iters: int = 8, sample_mod: int = 1,
+                    seed: int = 17, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    qid_col: str = "vec_id",
+                    assigned: DataFrame | None = None,
+                    C=None) -> DataFrame:
+    """Production-shape IVF top-k: the probe filter is a broadcast
+    EQUI-JOIN on the materialized assignment column, and the cosine runs
+    as NATIVE zip_with/aggregate expressions — zero Python in the scoring
+    path, and with the candidate table partitioned by `ivf_cell` the join
+    key prunes partitions (only probed cells are scanned at all).
+
+    Same recall contract as ivf_topk (identical centroids/probes given
+    the same seed); exact scoring within each probed cell.  Pass
+    `assigned`/`C` to reuse a previously materialized assignment.
+    Returns (query_id, rank, neighbor_id)."""
+    from pyspark.sql.window import Window
+
+    spark = candidates.sparkSession
+    if C is None:
+        C = train_ivf_centroids(candidates, n_centroids, kmeans_iters,
+                                sample_mod, seed, id_col, vec_col)
+    if C is None:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long"
+        )
+    if assigned is None:
+        assigned = ivf_assign(candidates, C, vec_col)
+
+    qrows = queries.select(qid_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qnorm = qmat / np.maximum(
+        np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12
+    )
+    nprobe = min(n_probe, len(C))
+    probes = np.argsort(-(qnorm @ C.T), axis=1)[:, :nprobe]
+    pairs = [
+        (int(qid), int(c), [float(x) for x in qnorm[j]])
+        for j, qid in enumerate(qids)
+        for c in probes[j]
+    ]
+    probe_df = spark.createDataFrame(
+        pairs, "query_id long, ivf_cell int, qvec array<double>"
+    )
+
+    dot = (
+        "aggregate(zip_with(cast({v} as array<double>), qvec, "
+        "(x, y) -> x * y), 0D, (acc, e) -> acc + e)"
+    ).format(v=vec_col)
+    nrm = (
+        "sqrt(aggregate(transform(cast({v} as array<double>), "
+        "x -> x * x), 0D, (acc, e) -> acc + e))"
+    ).format(v=vec_col)
+    scored = (
+        assigned.join(broadcast(probe_df), "ivf_cell")
+        .withColumn("cos", F.expr(f"({dot}) / greatest({nrm}, 1e-12)"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id")

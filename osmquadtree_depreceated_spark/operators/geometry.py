@@ -446,20 +446,27 @@ def assemble_multipolygons(rel_way_members: DataFrame,
         isboundary = "boundary" in rt
         outers, inners, outer_refs, outer_tags = [], [], [], {}
         way_tag_map = {}
-        for _, row in pdf.iterrows():
+        # zip over column arrays, not iterrows: same per-member work minus
+        # pandas row-boxing (matters on mega-relations, the skew axis)
+        wtags_col = (
+            pdf["wtags"] if with_tags else [None] * len(pdf)
+        )
+        for role, way_id, refs, lons, lats, wtags_v in zip(
+            pdf["role"], pdf["way_id"], pdf["refs"], pdf["lons"],
+            pdf["lats"], wtags_col,
+        ):
             ring = [
                 (int(r), int(a), int(b))
-                for r, a, b in zip(row["refs"], row["lons"], row["lats"])
+                for r, a, b in zip(refs, lons, lats)
             ]
-            if row["role"] == "inner":
+            if role == "inner":
                 inners.append(ring)
             else:
                 outers.append(ring)
-                wid = int(row["way_id"])
+                wid = int(way_id)
                 outer_refs.append(wid)
                 if with_tags:
-                    wt = row["wtags"]
-                    wt = dict(wt) if wt is not None else {}
+                    wt = dict(wtags_v) if wtags_v is not None else {}
                     way_tag_map[wid] = wt
                     if not isboundary:
                         T.tags_add(outer_tags, wt)

@@ -107,3 +107,43 @@ def test_ivf_topk_recall_vs_brute(prepped):
                           n_probe=16).collect()
     }
     assert full == brute
+
+
+def test_ivf_pruned_matches_kernel_and_plans_hash_join(prepped):
+    """Round-3 production-shape IVF: materialized assignment column +
+    broadcast equi-join probe filter + native zip_with/aggregate cosine.
+    Same probes/centroids as ivf_topk => same candidate sets; scoring is
+    exact, so the result sets match the kernel variant."""
+    from osmquadtree_depreceated_spark.operators.ann import (
+        cosine_topk,
+        ivf_topk,
+        ivf_topk_pruned,
+    )
+
+    emb = prepped.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    k = 5
+    kern = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(queries, emb, k, n_centroids=16,
+                          n_probe=4).collect()
+    }
+    pruned_df = ivf_topk_pruned(queries, emb, k, n_centroids=16, n_probe=4)
+    plan = pruned_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    pruned = {
+        (r["query_id"], r["neighbor_id"]) for r in pruned_df.collect()
+    }
+    assert pruned == kern
+    # probing all cells degrades to exact, like the kernel variant
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(queries, emb, k).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk_pruned(queries, emb, k, n_centroids=16,
+                                 n_probe=16).collect()
+    }
+    assert full == brute
