@@ -435,7 +435,7 @@ def assemble_multipolygons(rel_way_members: DataFrame,
             "rel_id", "left",
         )
 
-    def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         rel_id = int(key[0])
         pdf = pdf.sort_values(["mpos", "way_id"], kind="mergesort")
         if with_tags:

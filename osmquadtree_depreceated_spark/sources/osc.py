@@ -122,3 +122,23 @@ def osc_node_changes(changes: DataFrame) -> DataFrame:
         F.col("version").alias("seq"),
         "change_type", "lon", "lat",
     )
+
+
+def parse_osc_content(files: DataFrame,
+                      content_col: str = "content") -> DataFrame:
+    """Parse OSC payloads carried IN a DataFrame column (the binaryFile
+    source's `content`) — the streaming counterpart of read_osc_files:
+    each Arrow batch of file blobs parses executor-side, unified element
+    schema out.  Composes with `spark.readStream.format('binaryFile')`
+    for a live replication-diff feed."""
+
+    def _parse(it):
+        for batch in it:
+            out = []
+            for data in batch[content_col]:
+                out.extend(parse_osc_bytes(bytes(data)))
+            yield pd.DataFrame(out) if out else pd.DataFrame(
+                columns=_OSC_COLS
+            )
+
+    return files.select(content_col).mapInPandas(_parse, OSC_SCHEMA)

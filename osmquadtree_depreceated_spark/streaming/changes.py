@@ -71,7 +71,7 @@ def stream_update_tiles(spark: SparkSession, store: SnapshotStore,
                         base_stage: str, way_refs: DataFrame,
                         stream_df: DataFrame, checkpoint_dir: str,
                         buffer: float = 0.05, max_level: int = 18,
-                        group_level: int = 12):
+                        group_level: int = 12, transform=None):
     """STREAMING CalcUpdateTiles: each micro-batch of node changes runs the
     full incremental pipeline (operators/update.calc_update_tiles —
     merge/affected-set/cell-recompute, update.go:343-540) against the
@@ -83,15 +83,20 @@ def stream_update_tiles(spark: SparkSession, store: SnapshotStore,
 
     Requires base stages `{base_stage}_nodes`, `{base_stage}_wc`,
     `{base_stage}_nc` committed before starting.  stream_df: streaming
-    (node_id, seq, change_type, lon, lat).  Offsets checkpoint to
-    `checkpoint_dir`; already-committed batch stages are skipped on
-    replay — both halves of exactly-once resume."""
+    (node_id, seq, change_type, lon, lat) — or any streaming source plus
+    a `transform` mapping each micro-batch DataFrame to that shape (e.g.
+    a binaryFile stream of .osc diffs through
+    sources.osc.parse_osc_content + osc_node_changes).  Offsets
+    checkpoint to `checkpoint_dir`; already-committed batch stages are
+    skipped on replay — both halves of exactly-once resume."""
     from ..operators.update import calc_update_tiles
 
     def _apply(batch_df: DataFrame, batch_id: int):
         stage = f"{base_stage}_nodes@s{batch_id}"
         if store.has(stage) or batch_df.isEmpty():
             return
+        if transform is not None:
+            batch_df = transform(batch_df)
         nodes = store.read(spark, _latest_stage(store,
                                                 f"{base_stage}_nodes"))
         wc = store.read(spark, _latest_stage(store, f"{base_stage}_wc"))

@@ -183,3 +183,72 @@ def test_streaming_update_tiles_equals_full_recompute(spark, base, tmp_path):
     # per-batch affected-tile sets committed alongside
     for s in committed:
         assert store.has(f"upd_tiles@s{s}")
+
+
+def test_streaming_osc_wire_format_update_tiles(spark, base, tmp_path):
+    """Round-3: REAL wire-format streaming — gzipped .osc replication
+    diffs land in a directory, a binaryFile stream parses them
+    executor-side (parse_osc_content) and drives calc_update_tiles per
+    micro-batch; the final snapshots equal a full recompute."""
+    import gzip
+    import time
+
+    from osmquadtree_depreceated_spark.plans.lineage import SnapshotStore
+    from osmquadtree_depreceated_spark.sources.osc import (
+        osc_node_changes,
+        parse_osc_content,
+    )
+    from osmquadtree_depreceated_spark.streaming.changes import (
+        _latest_stage,
+        stream_update_tiles,
+    )
+
+    nodes, way_refs, wc, nc = base
+    store = SnapshotStore(str(tmp_path / "store"))
+    store.write(spark, "osc_nodes", nodes, None)
+    store.write(spark, "osc_wc", wc, "cell")
+    store.write(spark, "osc_nc", nc, "cell")
+
+    # two wire-format diffs: modify node 1, then delete 7 + create 100
+    # (coords in float degrees; ftoi turns them into the fixed-point ints)
+    d1 = (b"<?xml version='1.0'?><osmChange version=\"0.6\">"
+          b"<modify><node id=\"1\" version=\"1\" changeset=\"5\""
+          b" lat=\"50.55\" lon=\"-0.55\"/></modify></osmChange>")
+    d2 = (b"<?xml version='1.0'?><osmChange version=\"0.6\">"
+          b"<delete><node id=\"7\" version=\"2\" changeset=\"6\""
+          b" lat=\"51.0\" lon=\"0.0\"/></delete>"
+          b"<create><node id=\"100\" version=\"1\" changeset=\"6\""
+          b" lat=\"51.9\" lon=\"0.9\"/></create></osmChange>")
+    feed = tmp_path / "oscfeed"
+    feed.mkdir()
+    (feed / "000001.osc").write_bytes(d1)
+    time.sleep(0.05)
+    (feed / "000002.osc.gz").write_bytes(gzip.compress(d2))
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(feed))
+    )
+    q = stream_update_tiles(
+        spark, store, "osc", way_refs, stream, str(tmp_path / "ckpt"),
+        transform=lambda b: osc_node_changes(parse_osc_content(b)),
+    )
+    q.awaitTermination(120)
+
+    final_nodes = store.read(spark, _latest_stage(store, "osc_nodes"))
+    got_n = {r["node_id"]: (r["lon"], r["lat"])
+             for r in final_nodes.collect()}
+    assert got_n[1] == (-5_500_000, 505_500_000)  # ftoi of -0.55/50.55
+    assert 7 not in got_n and 100 in got_n
+    assert got_n[100] == (9_000_000, 519_000_000)
+    # incremental tables equal the full recompute over the merged nodes
+    want_w, want_nc_ = _full(spark, final_nodes, way_refs)
+    final_wc = store.read(spark, _latest_stage(store, "osc_wc"))
+    final_nc = store.read(spark, _latest_stage(store, "osc_nc"))
+    got_w = {r["way_id"]: r["cell"] for r in final_wc.collect()}
+    got_nc = {r["node_id"]: r["cell"] for r in final_nc.collect()}
+    assert got_w == want_w
+    assert got_nc == want_nc_
