@@ -2071,6 +2071,45 @@ from rw"""
     )
 
 
+def q40_dedup_clusters(spark, sf_dir) -> DataFrame:
+    """Duplicate-CLUSTER resolution: connected components over the
+    verified near-duplicate pair graph (minhash bands -> exact Jaccard
+    -> min-label propagation), labeling every clustered doc with its
+    component's smallest id — the keep-one representative.  Oracle: the
+    same pair SQL feeding a recursive-CTE reachability closure in
+    DuckDB."""
+    _prep(spark, sf_dir)
+    from .operators.dedup import (
+        duplicate_clusters,
+        jaccard_verify,
+        minhash_candidates,
+    )
+
+    docs = spark.table("docs_aug")
+    pairs = jaccard_verify(docs, minhash_candidates(docs))
+    return duplicate_clusters(pairs)
+
+
+def q40_oracle() -> str:
+    # the q20 pair query nests as a derived table (DuckDB allows WITH
+    # inside a subquery); reachability closes over the symmetric edge set
+    return f"""with recursive pairs as (
+  select doc_a, doc_b from ({q20_oracle()}) q
+),
+edges as (
+  select doc_a as a, doc_b as b from pairs
+  union
+  select doc_b as a, doc_a as b from pairs
+),
+verts as (select distinct a as id from edges),
+reach(id, lbl) as (
+  select id, id from verts
+  union
+  select e.b, r.lbl from reach r join edges e on e.a = r.id
+)
+select id as doc_id, min(lbl) as cluster_id from reach group by id"""
+
+
 _TAGS_SIG_EXPR = (
     "array_join(array_sort(transform(map_entries(tags),"
     " e -> concat(e.key, '=', e.value))), ';')"
@@ -2303,6 +2342,7 @@ GATE_QUERIES = {
     "q37_way_geometry_tags": q37_way_geometry_tags,
     "q38_way_area": q38_way_area,
     "q39_generate_geometries": q39_generate_geometries,
+    "q40_dedup_clusters": q40_dedup_clusters,
 }
 
 class _LazyOracles(dict):
@@ -2381,6 +2421,7 @@ GATE_ORACLES = _LazyOracles({
     "q37_way_geometry_tags": q37_oracle(),
     "q38_way_area": q38_oracle_build,  # lazy: freezes the mercator-y LUT
     "q39_generate_geometries": q39_oracle_build,  # lazy: DuckDB cell pass
+    "q40_dedup_clusters": q40_oracle(),
 })
 
 

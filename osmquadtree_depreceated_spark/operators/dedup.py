@@ -299,3 +299,59 @@ def embedding_neardup_lsh(embeddings: DataFrame, tau: float,
         .mapInPandas(_within, "doc_a long, doc_b long")
         .distinct()
     )
+
+
+def duplicate_clusters(pairs: DataFrame, a_col: str = "doc_a",
+                       b_col: str = "doc_b",
+                       max_iters: int = 20) -> DataFrame:
+    """Connected components over the duplicate-pair graph: every doc in a
+    component is labeled with the component's SMALLEST doc id — the
+    canonical keep-one representative dedup needs after pair generation
+    (minhash/simhash/embedding pairs all feed this).
+
+    Shape: iterative min-label propagation — per round each vertex takes
+    the min label over itself and its neighbors (one shuffle on the
+    vertex id), so rounds = component diameter (tiny for dedup graphs:
+    stars/chains from banding).  Each round localCheckpoints to cut
+    lineage, and convergence is detected with an O(1) driver-side
+    changed-row count.  At 10^12 docs the distribution axis stays the
+    vertex id; no component ever materializes on a single node.
+
+    Returns (doc_id, cluster_id) for every doc appearing in `pairs`.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"),
+                         F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        msgs = edges.join(
+            labels, edges["src"] == labels["id"]
+        ).select(F.col("dst").alias("id"), "label")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

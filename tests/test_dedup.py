@@ -147,3 +147,34 @@ def test_ivf_pruned_matches_kernel_and_plans_hash_join(prepped):
                                  n_probe=16).collect()
     }
     assert full == brute
+
+
+def test_duplicate_clusters_chain_and_star(prepped):
+    """Min-label propagation must close multi-hop chains (diameter > 1),
+    not just direct pairs; disjoint components keep distinct labels."""
+    from osmquadtree_depreceated_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    pairs = prepped.createDataFrame(
+        [
+            # chain: 5-4-3-2-1 (diameter 4) — label 1 must reach 5
+            (1, 2), (2, 3), (3, 4), (4, 5),
+            # star: 10 center
+            (10, 11), (10, 12), (10, 13),
+            # isolated pair
+            (20, 21),
+        ],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert {k: v for k, v in got.items() if k <= 5} == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1
+    }
+    assert {k: v for k, v in got.items() if 10 <= k <= 13} == {
+        10: 10, 11: 10, 12: 10, 13: 10
+    }
+    assert got[20] == 20 and got[21] == 20
