@@ -2110,6 +2110,135 @@ reach(id, lbl) as (
 select id as doc_id, min(lbl) as cluster_id from reach group by id"""
 
 
+def q41_geojson_roundtrip(spark, sf_dir) -> DataFrame:
+    """GeoJSON sink (MakeFeature, geojson.go:76-112): way geometries
+    encode to Feature JSON strings, the gate parses them BACK (from_json)
+    and re-derives fixed-point coordinates — the encode->decode
+    round-trip must reproduce the source ints exactly (scaling 1e-7 and
+    back is lossless in float64 at OSM magnitudes).  Float FORMATTING is
+    deliberately not hashed (engine-specific); structure, type tagging
+    and coordinate values are — the same strategy as the q35 WKB gate."""
+    _prep(spark, sf_dir)
+    from .functions.geojson import feature_json
+    from .operators.geometry import add_way_coords, make_way_geometries
+
+    wc = add_way_coords(spark.table("way_refs"), spark.table("nodes"))
+    g = make_way_geometries(wc, way_tags=None)
+    f = feature_json(g).select("way_id", "geom_type", "feature")
+    back_int = (
+        "cast(round(element_at(element_at({c}, {i}), {j}) * 1e7) as long)"
+    )
+    poly = (
+        f.filter(F.col("geom_type") == 3)
+        .withColumn("gj", F.from_json(
+            "feature",
+            "struct<type: string, id: bigint, "
+            "geometry: struct<type: string, "
+            "coordinates: array<array<array<double>>>>>",
+        ))
+        .select(
+            "way_id",
+            F.col("gj.geometry.type").alias("gtype"),
+            F.expr("element_at(gj.geometry.coordinates, 1)").alias("c"),
+        )
+    )
+    line = (
+        f.filter(F.col("geom_type") != 3)
+        .withColumn("gj", F.from_json(
+            "feature",
+            "struct<type: string, id: bigint, "
+            "geometry: struct<type: string, "
+            "coordinates: array<array<double>>>>",
+        ))
+        .select(
+            "way_id",
+            F.col("gj.geometry.type").alias("gtype"),
+            F.col("gj.geometry.coordinates").alias("c"),
+        )
+    )
+    return poly.unionByName(line).select(
+        "way_id", "gtype",
+        F.size("c").alias("n_pts"),
+        F.expr(back_int.format(c="c", i=1, j=1)).alias("first_lon"),
+        F.expr(back_int.format(c="c", i=1, j=2)).alias("first_lat"),
+        F.expr(back_int.format(c="c", i=-1, j=1)).alias("last_lon"),
+        F.expr(back_int.format(c="c", i=-1, j=2)).alias("last_lat"),
+    )
+
+
+def q41_oracle() -> str:
+    return (
+        tpch.synth_cte_prefix("nodes", "way_refs")
+        + """,
+pts as (
+  select w.way_id, w.ref, n.lon, n.lat,
+         row_number() over (partition by w.way_id order by w.pos, w.ref)
+           as rn,
+         count(*) over (partition by w.way_id) as np
+  from way_refs w join nodes n on w.ref = n.node_id
+),
+ends as (
+  select way_id, np,
+         min(case when rn = 1 then ref end) as first_ref,
+         min(case when rn = np then ref end) as last_ref,
+         min(case when rn = 1 then lon end) as first_lon,
+         min(case when rn = 1 then lat end) as first_lat,
+         min(case when rn = np then lon end) as last_lon,
+         min(case when rn = np then lat end) as last_lat
+  from pts group by way_id, np
+)
+select way_id,
+       case when np >= 3 and first_ref = last_ref
+            then 'Polygon' else 'LineString' end as gtype,
+       cast(np as int) as n_pts,
+       first_lon, first_lat, last_lon, last_lat
+from ends"""
+    )
+
+
+def q42_wkt(spark, sf_dir) -> DataFrame:
+    """WKT sink (geometryimpl.go:243-277): the ENTIRE WKT string per way
+    is value-hashed — viable cross-engine because both sides format with
+    a correctly-rounded 6-decimal fixed conversion (Python format <->
+    DuckDB printf('%.6f'): verified 0 mismatches over 50k coords incl.
+    7th-digit-5 ties; the JVM Formatter would double-round, which is why
+    the sink is a pandas UDF in the first place)."""
+    _prep(spark, sf_dir)
+    from .functions.wkt import with_wkt
+    from .operators.geometry import add_way_coords, make_way_geometries
+
+    wc = add_way_coords(spark.table("way_refs"), spark.table("nodes"))
+    g = make_way_geometries(wc, way_tags=None)
+    return with_wkt(g).select("way_id", "wkt")
+
+
+def q42_oracle() -> str:
+    return (
+        tpch.synth_cte_prefix("nodes", "way_refs")
+        + """,
+pts as (
+  select w.way_id, w.ref, n.lon, n.lat,
+         row_number() over (partition by w.way_id order by w.pos, w.ref)
+           as rn,
+         count(*) over (partition by w.way_id) as np
+  from way_refs w join nodes n on w.ref = n.node_id
+),
+agg as (
+  select way_id, np,
+         min(case when rn = 1 then ref end) as first_ref,
+         min(case when rn = np then ref end) as last_ref,
+         string_agg(printf('%.6f %.6f', lon * 1e-07, lat * 1e-07),
+                    ', ' order by rn) as pts_s
+  from pts group by way_id, np
+)
+select way_id,
+       case when np >= 3 and first_ref = last_ref
+            then 'POLYGON((' || pts_s || '))'
+            else 'LINESTRING(' || pts_s || ')' end as wkt
+from agg"""
+    )
+
+
 _TAGS_SIG_EXPR = (
     "array_join(array_sort(transform(map_entries(tags),"
     " e -> concat(e.key, '=', e.value))), ';')"
@@ -2343,6 +2472,8 @@ GATE_QUERIES = {
     "q38_way_area": q38_way_area,
     "q39_generate_geometries": q39_generate_geometries,
     "q40_dedup_clusters": q40_dedup_clusters,
+    "q41_geojson_roundtrip": q41_geojson_roundtrip,
+    "q42_wkt": q42_wkt,
 }
 
 class _LazyOracles(dict):
@@ -2422,6 +2553,8 @@ GATE_ORACLES = _LazyOracles({
     "q38_way_area": q38_oracle_build,  # lazy: freezes the mercator-y LUT
     "q39_generate_geometries": q39_oracle_build,  # lazy: DuckDB cell pass
     "q40_dedup_clusters": q40_oracle(),
+    "q41_geojson_roundtrip": q41_oracle(),
+    "q42_wkt": q42_oracle(),
 })
 
 
