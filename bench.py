@@ -140,7 +140,7 @@ def run_pipeline(spark, nodes, way_refs, boxes_rows, timings: dict | None):
     # wb is reused by the serving join below — cache it alongside wc, or
     # the rollup stage silently recomputes the whole bbox aggregation and
     # masks the pruned join's actual cost
-    wb = way_bboxes(way_refs, nodes, salt_buckets=8).cache()
+    wb = way_bboxes(way_refs, nodes, salt_buckets=0).cache()
     wc = way_cells(wb, 0.05, 18)
     wc.cache()
     n_ways = _stage("way_cells", wc.count)
@@ -219,7 +219,7 @@ def _partitioned_serving(spark, nodes, way_refs, timings: dict):
     work = tempfile.mkdtemp(prefix="bench_parts_")
     path = os.path.join(work, "way_geoms")
     try:
-        wb = way_bboxes(way_refs, nodes, salt_buckets=8)
+        wb = way_bboxes(way_refs, nodes, salt_buckets=0)
         geoms = way_cells(wb, 0.05, 18).join(wb, "way_id")
         t = time.time()
         write_cell_partitioned(geoms, path, level=6)

@@ -88,7 +88,7 @@ def _boxes_df(spark):
 
 def _way_bbox_df(spark):
     return way_bboxes(
-        spark.table("way_refs"), spark.table("nodes"), salt_buckets=8
+        spark.table("way_refs"), spark.table("nodes"), salt_buckets=0
     )
 
 

@@ -84,7 +84,7 @@ def calc_update_tiles(nodes: DataFrame, way_refs: DataFrame,
     )
     aff_refs = way_refs.join(affected_ways, "way_id", "left_semi")
     new_wc = _way_cells(
-        way_bboxes(aff_refs, merged_nodes, salt_buckets=8),
+        way_bboxes(aff_refs, merged_nodes, salt_buckets=0),
         buffer, max_level,
     )
     merged_wc = (

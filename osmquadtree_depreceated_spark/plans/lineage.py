@@ -157,7 +157,7 @@ def calcqts_pipeline(spark: SparkSession, store: SnapshotStore,
     )
 
     wb = store.run_stage(
-        spark, "way_bbox", lambda: way_bboxes(way_refs, nodes, salt_buckets=8),
+        spark, "way_bbox", lambda: way_bboxes(way_refs, nodes, salt_buckets=0),
         cell_col=None,
     )
     wc = store.run_stage(

@@ -27,7 +27,7 @@ def fused_pipeline(spark, nodes, way_refs, boxes_rows):
         bbox_join, raster_vector_join,
     )
 
-    wb = way_bboxes(way_refs, nodes, salt_buckets=8)
+    wb = way_bboxes(way_refs, nodes, salt_buckets=0)
     wc = way_cells(wb, 0.05, 18)
     nc = node_cells(nodes, way_refs, wc, 0.05, 18)
     boxes = spark.createDataFrame(boxes_rows, gate.BOX_COLS)
