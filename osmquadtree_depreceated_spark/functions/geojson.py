@@ -90,3 +90,63 @@ def write_geojson(features: DataFrame, path: str, group_cols=None) -> None:
     geojson.go:159)."""
     fc = feature_collection(features, group_cols)
     fc.select("feature_collection").write.mode("overwrite").text(path)
+
+
+def relation_feature_json(df: DataFrame, id_col: str = "rel_id",
+                          rings_col: str = "rings",
+                          tags_col: str = "tags",
+                          mercator: bool = False) -> DataFrame:
+    """Append a `feature` JSON string per multipolygon-relation row
+    (MakeFeature for the multi shape, geojson.go:76-112 over the
+    reference's collection geometries): one ring group -> Polygon,
+    several -> MultiPolygon, rings grouped by their `grp` ordinal from
+    the assemble_multipolygons `rings` column — all native collection
+    expressions, no Python."""
+    if mercator:
+        x = f"x * 1e-7 * {EARTH_HALF_CIRCUM!r} / 180e0"
+        y = (
+            f"ln(tan(pi() * (1e0 + y * 1e-7 / 90e0) / 4e0)) * 90e0 / pi()"
+            f" * {EARTH_HALF_CIRCUM!r} / 90e0"
+        )
+    else:
+        x, y = "x * 1e-7", "y * 1e-7"
+    ring_xy = (
+        f"transform(filter({rings_col}, r -> r.grp = g), "
+        f"r -> zip_with(r.lons, r.lats, (x, y) -> array({x}, {y})))"
+    )
+    groups = (
+        f"transform(array_sort(array_distinct("
+        f"transform({rings_col}, r -> r.grp))), g -> {ring_xy})"
+    )
+    df = df.withColumn("__gj_groups", F.expr(groups))
+    geom = F.when(
+        F.expr("size(__gj_groups) > 1"),
+        F.to_json(
+            F.struct(
+                F.lit("MultiPolygon").alias("type"),
+                F.col("__gj_groups").alias("coordinates"),
+            )
+        ),
+    ).otherwise(
+        F.to_json(
+            F.struct(
+                F.lit("Polygon").alias("type"),
+                F.expr("element_at(__gj_groups, 1)").alias("coordinates"),
+            )
+        )
+    )
+    props = (
+        F.to_json(F.col(tags_col)) if tags_col in df.columns else F.lit("{}")
+    )
+    return df.withColumn(
+        "feature",
+        F.concat(
+            F.lit('{"type": "Feature", "id": '),
+            F.col(id_col).cast("string"),
+            F.lit(', "properties": '),
+            F.coalesce(props, F.lit("{}")),
+            F.lit(', "geometry": '),
+            geom,
+            F.lit("}"),
+        ),
+    ).drop("__gj_groups")

@@ -1218,15 +1218,10 @@ left join warea w using (way_id)"""
 _Q27_FIXTURE = dict(n_nodes=800, n_ways=400, n_rels=120, seed=42)
 
 
-def q27_multipolygon(spark, sf_dir) -> DataFrame:
-    """Multipolygon relation assembly with the FULL finishRel tag pass
-    (merge_rings / group_rings / outer-tag Add+Clip merge-back / wayTags
-    filter / duplicated-tag deletions, makegeometries.go:472-643) over the
-    deterministic docs fixture.  Oracle: an independent pure-Python
-    replication over the generator's ground-truth tables, frozen as VALUES
-    (q27_oracle) — verifies the Spark plumbing (joins, member ordering,
-    grouped-map marshalling) end to end."""
-    _prep(spark, sf_dir)
+def _mp_fixture_df(spark) -> DataFrame:
+    """assemble_multipolygons over the deterministic docs fixture — the
+    shared engine pipeline behind q27 (full output) and q43 (GeoJSON
+    sink round-trip)."""
     from .operators.geometry import (
         add_way_coords,
         assemble_multipolygons,
@@ -1264,10 +1259,22 @@ def q27_multipolygon(spark, sf_dir) -> DataFrame:
         .select("rel_id", "mpos", F.col("m.ref").alias("ref"),
                 F.col("m.role").alias("role"))
     )
-    out = assemble_multipolygons(members, wc, rel_tags=rel_tags,
-                                 way_tags=way_tags)
+    return assemble_multipolygons(members, wc, rel_tags=rel_tags,
+                                  way_tags=way_tags)
+
+
+def q27_multipolygon(spark, sf_dir) -> DataFrame:
+    """Multipolygon relation assembly with the FULL finishRel tag pass
+    (merge_rings / group_rings / outer-tag Add+Clip merge-back / wayTags
+    filter / duplicated-tag deletions, makegeometries.go:472-643) over the
+    deterministic docs fixture.  Oracle: an independent pure-Python
+    replication over the generator's ground-truth tables, frozen as VALUES
+    (q27_oracle) — verifies the Spark plumbing (joins, member ordering,
+    grouped-map marshalling) end to end."""
+    _prep(spark, sf_dir)
     from .functions.wkb import wkb_collection_udf
 
+    out = _mp_fixture_df(spark)
     out = out.withColumn("wkb", wkb_collection_udf()(F.col("rings")))
     return out.select(
         "rel_id", "geom_type", "n_rings", "n_groups", "way_area",
@@ -1368,6 +1375,7 @@ def _mp_replicate(truth) -> list:
             maxx=max(p[1] for p in pts), maxy=max(p[2] for p in pts),
             z_order=zo, wkb_len=wkb_len, hdr_hex=hdr_hex,
             tags=rt, dels=dels, tags_sig=tags_sig, del_sig=del_sig,
+            groups=groups,
         ))
     return out
 
@@ -2239,6 +2247,89 @@ from agg"""
     )
 
 
+def q43_relation_geojson(spark, sf_dir) -> DataFrame:
+    """GeoJSON sink for RELATIONS (Polygon / MultiPolygon features from
+    the assembled ring groups): encode -> from_json decode — grouping,
+    type tagging and the fixed-point coordinates must survive the
+    round-trip exactly.  Oracle: the frozen scalar replication's mutated
+    ring groups."""
+    _prep(spark, sf_dir)
+    from .functions.geojson import relation_feature_json
+
+    f = relation_feature_json(_mp_fixture_df(spark)).select(
+        "rel_id", "n_groups", "feature"
+    )
+    back_int = "cast(round({e} * 1e7) as long)"
+    multi = (
+        f.filter(F.col("n_groups") > 1)
+        .withColumn("gj", F.from_json(
+            "feature",
+            "struct<type: string, id: bigint, "
+            "geometry: struct<type: string, "
+            "coordinates: array<array<array<array<double>>>>>>",
+        ))
+        .select(
+            "rel_id",
+            F.col("gj.geometry.type").alias("gtype"),
+            F.expr("size(gj.geometry.coordinates)").alias("n_grp"),
+            F.expr(
+                "aggregate(transform(gj.geometry.coordinates,"
+                " g -> size(g)), 0, (a, v) -> a + v)"
+            ).alias("n_rings"),
+            F.expr("element_at(element_at(element_at("
+                   "gj.geometry.coordinates, 1), 1), 1)").alias("p0"),
+        )
+    )
+    single = (
+        f.filter(F.col("n_groups") <= 1)
+        .withColumn("gj", F.from_json(
+            "feature",
+            "struct<type: string, id: bigint, "
+            "geometry: struct<type: string, "
+            "coordinates: array<array<array<double>>>>>",
+        ))
+        .select(
+            "rel_id",
+            F.col("gj.geometry.type").alias("gtype"),
+            F.lit(1).alias("n_grp"),
+            F.expr("size(gj.geometry.coordinates)").alias("n_rings"),
+            F.expr("element_at(element_at("
+                   "gj.geometry.coordinates, 1), 1)").alias("p0"),
+        )
+    )
+    return multi.unionByName(single).select(
+        "rel_id", "gtype", "n_grp", "n_rings",
+        F.expr(back_int.format(e="element_at(p0, 1)")).alias("f_lon"),
+        F.expr(back_int.format(e="element_at(p0, 2)")).alias("f_lat"),
+    )
+
+
+def q43_oracle() -> str:
+    from .sources.docs import generate_docs
+
+    _, truth = generate_docs(**_Q27_FIXTURE)
+    rows = []
+    for d in _mp_replicate(truth):
+        g0 = d["groups"][0]
+        p0 = g0[0][0]  # first ring of first group, first point
+        rows.append((
+            d["rel_id"],
+            "MultiPolygon" if d["n_groups"] > 1 else "Polygon",
+            d["n_groups"], d["n_rings"], p0[1], p0[2],
+        ))
+    vals = ",\n  ".join(
+        f"({r[0]}, '{r[1]}', {r[2]}, {r[3]}, {r[4]}, {r[5]})" for r in rows
+    )
+    return (
+        "select cast(rel_id as bigint) as rel_id, "
+        "cast(gtype as varchar) as gtype, cast(n_grp as int) as n_grp, "
+        "cast(n_rings as int) as n_rings, "
+        "cast(f_lon as bigint) as f_lon, cast(f_lat as bigint) as f_lat "
+        f"from (values\n  {vals}\n) "
+        "as t(rel_id, gtype, n_grp, n_rings, f_lon, f_lat)"
+    )
+
+
 _TAGS_SIG_EXPR = (
     "array_join(array_sort(transform(map_entries(tags),"
     " e -> concat(e.key, '=', e.value))), ';')"
@@ -2474,6 +2565,7 @@ GATE_QUERIES = {
     "q40_dedup_clusters": q40_dedup_clusters,
     "q41_geojson_roundtrip": q41_geojson_roundtrip,
     "q42_wkt": q42_wkt,
+    "q43_relation_geojson": q43_relation_geojson,
 }
 
 class _LazyOracles(dict):
@@ -2555,6 +2647,7 @@ GATE_ORACLES = _LazyOracles({
     "q40_dedup_clusters": q40_oracle(),
     "q41_geojson_roundtrip": q41_oracle(),
     "q42_wkt": q42_oracle(),
+    "q43_relation_geojson": q43_oracle,  # lazy-ish: replication pass
 })
 
 

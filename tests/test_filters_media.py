@@ -163,3 +163,52 @@ class TestSqlCompat:
             "where highway = 'primary'"
         ).collect()[0]
         assert row["osm_id"] == 7 and row["quadtree"] == 123456789
+
+
+def test_relation_multipolygon_geojson_roundtrip(spark):
+    """Relation rings -> Polygon/MultiPolygon Feature JSON, parsed back:
+    group structure and fixed-point coordinates must survive exactly."""
+    import json
+
+    from osmquadtree_depreceated_spark.functions.geojson import (
+        relation_feature_json,
+    )
+
+    rows = [
+        # one group, outer + inner ring -> Polygon with 2 rings
+        (1, [
+            {"grp": 0, "lons": [0, 10_000_000, 10_000_000, 0, 0],
+             "lats": [0, 0, 10_000_000, 10_000_000, 0]},
+            {"grp": 0, "lons": [2_000_000, 8_000_000, 8_000_000, 2_000_000,
+                                2_000_000],
+             "lats": [2_000_000, 2_000_000, 8_000_000, 8_000_000,
+                      2_000_000]},
+        ], {"natural": "water"}),
+        # two groups -> MultiPolygon
+        (2, [
+            {"grp": 0, "lons": [0, 1_000_000, 0, 0],
+             "lats": [0, 0, 1_000_000, 0]},
+            {"grp": 1, "lons": [5_000_000, 6_000_000, 5_000_000, 5_000_000],
+             "lats": [0, 0, 1_000_000, 0]},
+        ], {}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "rel_id long, rings array<struct<grp: int, lons: array<long>, "
+        "lats: array<long>>>, tags map<string,string>",
+    )
+    feats = {r["rel_id"]: r["feature"]
+             for r in relation_feature_json(df).collect()}
+    f1 = json.loads(feats[1])
+    assert f1["geometry"]["type"] == "Polygon"
+    assert len(f1["geometry"]["coordinates"]) == 2  # outer + inner
+    assert f1["properties"] == {"natural": "water"}
+    # coords round-trip to the fixed-point ints
+    got = [[int(round(x * 1e7)), int(round(y * 1e7))]
+           for x, y in f1["geometry"]["coordinates"][0]]
+    assert got == [[0, 0], [10_000_000, 0], [10_000_000, 10_000_000],
+                   [0, 10_000_000], [0, 0]]
+    f2 = json.loads(feats[2])
+    assert f2["geometry"]["type"] == "MultiPolygon"
+    assert len(f2["geometry"]["coordinates"]) == 2
+    assert len(f2["geometry"]["coordinates"][0]) == 1  # one ring per group
