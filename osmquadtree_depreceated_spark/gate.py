@@ -2330,6 +2330,92 @@ def q43_oracle() -> str:
     )
 
 
+def q44_corpus_pipeline(spark, sf_dir) -> DataFrame:
+    """The FUSED training-data corpus pipeline — what a data-curation user
+    actually runs end-to-end: per-doc stats -> language guess -> exact
+    (content-hash) AND near (minhash->Jaccard) duplicate pairs -> one
+    connected-components clustering over the combined graph -> per-doc
+    keep/drop verdict (keep iff quality passes and the doc is its
+    cluster's canonical smallest id).  Oracle: the same composition in
+    SQL with a recursive-CTE closure."""
+    _prep(spark, sf_dir)
+    from .functions import text as T
+    from .operators.dedup import (
+        duplicate_clusters,
+        jaccard_verify,
+        minhash_candidates,
+    )
+
+    docs = spark.table("docs_aug")
+    stats = docs.select(
+        "doc_id", T.n_tokens().alias("nt"),
+        T.stopword_count().alias("sc"), F.md5("text").alias("h"),
+    )
+    a = stats.select(F.col("doc_id").alias("doc_a"), "h")
+    b = stats.select(F.col("doc_id").alias("doc_b"), "h")
+    exact_pairs = (
+        a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    near_pairs = jaccard_verify(docs, minhash_candidates(docs)).select(
+        "doc_a", "doc_b"
+    )
+    clusters = duplicate_clusters(
+        exact_pairs.unionByName(near_pairs).distinct()
+    )
+    return stats.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("sc") * 5 >= F.col("nt"), F.lit("en"))
+        .otherwise(F.lit("unk")).alias("lang_guess"),
+        F.col("nt").cast("long").alias("n_tokens"),
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        (
+            (F.col("nt") >= 10)
+            & (F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+               == F.col("doc_id"))
+        ).alias("keep"),
+    )
+
+
+def q44_oracle() -> str:
+    synth = tpch.synth_cte_prefix("docs_aug")
+    exact_sub = (
+        synth + "\nselect doc_id, md5(text) as h from docs_aug"
+    )
+    stats_sub = (
+        synth + ",\n" + _DUCK_TEXT_CTE
+        + "\nselect doc_id, nt, sc from ts"
+    )
+    return f"""with recursive pairs as (
+  select doc_a, doc_b from ({q20_oracle()}) nq
+  union
+  select a.doc_id as doc_a, b.doc_id as doc_b
+  from ({exact_sub}) a join ({exact_sub}) b
+    on a.h = b.h and a.doc_id < b.doc_id
+),
+edges as (
+  select doc_a as a, doc_b as b from pairs
+  union
+  select doc_b as a, doc_a as b from pairs
+),
+verts as (select distinct a as id from edges),
+reach(id, lbl) as (
+  select id, id from verts
+  union
+  select e.b, r.lbl from reach r join edges e on e.a = r.id
+),
+clusters as (
+  select id as doc_id, min(lbl) as cluster_id from reach group by id
+),
+stats as ({stats_sub})
+select s.doc_id,
+       case when s.sc * 5 >= s.nt then 'en' else 'unk' end as lang_guess,
+       cast(s.nt as bigint) as n_tokens,
+       coalesce(c.cluster_id, s.doc_id) as cluster_id,
+       (s.nt >= 10 and coalesce(c.cluster_id, s.doc_id) = s.doc_id) as keep
+from stats s left join clusters c using (doc_id)"""
+
+
 _TAGS_SIG_EXPR = (
     "array_join(array_sort(transform(map_entries(tags),"
     " e -> concat(e.key, '=', e.value))), ';')"
@@ -2566,6 +2652,7 @@ GATE_QUERIES = {
     "q41_geojson_roundtrip": q41_geojson_roundtrip,
     "q42_wkt": q42_wkt,
     "q43_relation_geojson": q43_relation_geojson,
+    "q44_corpus_pipeline": q44_corpus_pipeline,
 }
 
 class _LazyOracles(dict):
@@ -2648,6 +2735,7 @@ GATE_ORACLES = _LazyOracles({
     "q41_geojson_roundtrip": q41_oracle(),
     "q42_wkt": q42_oracle(),
     "q43_relation_geojson": q43_oracle,  # lazy-ish: replication pass
+    "q44_corpus_pipeline": q44_oracle(),
 })
 
 
