@@ -2416,6 +2416,58 @@ select s.doc_id,
 from stats s left join clusters c using (doc_id)"""
 
 
+def q45_embed_dedup_keep(spark, sf_dir) -> DataFrame:
+    """Embedding near-dup KEEP verdict: LSH sign-bucket pairs (the
+    oracle-verifiable axis variant, q23) -> connected-components
+    clustering -> every vector labeled with its cluster's canonical
+    smallest id and a keep flag — the embedding-side counterpart of the
+    q44 corpus pipeline.  Oracle: q23's pair SQL + recursive closure."""
+    _prep(spark, sf_dir)
+    from .operators.dedup import (
+        duplicate_clusters,
+        embedding_neardup_lsh_axis,
+    )
+
+    aug = spark.sql(_EMB_AUG_SPARK_SQL)
+    pairs = embedding_neardup_lsh_axis(aug, 0.95)
+    clusters = duplicate_clusters(pairs).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    return aug.select("vec_id").join(clusters, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+        (F.coalesce(F.col("cluster_id"), F.col("vec_id"))
+         == F.col("vec_id")).alias("keep"),
+    )
+
+
+def q45_oracle() -> str:
+    return f"""with recursive pairs as (
+  select doc_a, doc_b from ({q23_oracle()}) q
+),
+edges as (
+  select doc_a as a, doc_b as b from pairs
+  union
+  select doc_b as a, doc_a as b from pairs
+),
+verts as (select distinct a as id from edges),
+reach(id, lbl) as (
+  select id, id from verts
+  union
+  select e.b, r.lbl from reach r join edges e on e.a = r.id
+),
+clusters as (
+  select id as vec_id, min(lbl) as cluster_id from reach group by id
+),
+allv as (
+  select vec_id from (with {_EMB_AUG_DUCK} select vec_id from emb_aug) z
+)
+select v.vec_id,
+       coalesce(c.cluster_id, v.vec_id) as cluster_id,
+       (coalesce(c.cluster_id, v.vec_id) = v.vec_id) as keep
+from allv v left join clusters c using (vec_id)"""
+
+
 _TAGS_SIG_EXPR = (
     "array_join(array_sort(transform(map_entries(tags),"
     " e -> concat(e.key, '=', e.value))), ';')"
@@ -2653,6 +2705,7 @@ GATE_QUERIES = {
     "q42_wkt": q42_wkt,
     "q43_relation_geojson": q43_relation_geojson,
     "q44_corpus_pipeline": q44_corpus_pipeline,
+    "q45_embed_dedup_keep": q45_embed_dedup_keep,
 }
 
 class _LazyOracles(dict):
@@ -2736,6 +2789,7 @@ GATE_ORACLES = _LazyOracles({
     "q42_wkt": q42_oracle(),
     "q43_relation_geojson": q43_oracle,  # lazy-ish: replication pass
     "q44_corpus_pipeline": q44_oracle(),
+    "q45_embed_dedup_keep": q45_oracle(),
 })
 
 
