@@ -2468,6 +2468,92 @@ select v.vec_id,
 from allv v left join clusters c using (vec_id)"""
 
 
+def q46_ref_sql_surface(spark, sf_dir) -> DataFrame:
+    """The reference SQL serving surface end-to-end (sqlselect/ +
+    packeddatastore.go:351-378): way geometries registered as
+    planet_osm_line / planet_osm_polygon views with the virtual columns
+    (osm_id, z_order, quadtree, tag keys), queried through the QUIRK
+    builders — prefix-only LIKE, substr edge rules, parse-or-0 casts,
+    numchar, maxwidth (plans/sqlcompat.py).  Oracle replicates every
+    quirk arithmetically plus the buffer-0.025 cell descent."""
+    _prep(spark, sf_dir)
+    from .operators.geometry import add_way_coords, make_way_geometries
+    from .plans.sqlcompat import (
+        make_float,
+        make_integer,
+        maxwidth,
+        numchar,
+        ref_like,
+        register_geometry_views,
+    )
+
+    wc = add_way_coords(spark.table("way_refs"), spark.table("nodes"))
+    g = make_way_geometries(wc, way_tags=spark.sql(_WAY_TAGS_SPARK_SQL))
+    feats = g.filter(F.col("is_feature"))
+    register_geometry_views(
+        spark,
+        lines=feats.filter(F.col("geom_type") == 2),
+        polygons=feats.filter(F.col("geom_type") == 3),
+    )
+    both = spark.table("planet_osm_line").unionByName(
+        spark.table("planet_osm_polygon"), allowMissingColumns=True
+    )
+    return both.filter(F.col("name").isNotNull()).select(
+        "osm_id", "z_order", "quadtree",
+        ref_like("name", "n1%").alias("is_n1"),
+        make_integer("substring(name, 2, 3)").alias("nm_num"),
+        make_float("highway").alias("hw_f"),
+        numchar(F.coalesce(F.col("highway"), F.lit("")), "e").alias("n_e"),
+        maxwidth(F.concat_ws("\n", "name", "highway")).alias("mw"),
+    )
+
+
+def q46_oracle() -> str:
+    from .qtcore.rings import HIGHWAY_ORDER
+
+    hw_c, hw_v = _WAY_TAG_CASES["highway"]
+    bl_c, _ = _WAY_TAG_CASES["building"]
+    nm_c, _ = _WAY_TAG_CASES["name"]
+    rank = " ".join(
+        f"when hw = '{k}' then {v}"
+        for k, v in sorted(HIGHWAY_ORDER.items())
+    )
+    hw_vals = ["motorway", "service", "residential", "primary", "footway"]
+    e_case = " ".join(
+        f"when hw = '{v}' then {v.count('e')}" for v in hw_vals
+    )
+    return (
+        tpch.synth_cte_prefix("nodes", "way_refs")
+        + f""",
+{_WB_CTE},
+{calculate_cte_fragments("select * from wb", "way_id", 0.025, 18,
+                         prefix="gq")},
+wt as (
+  select way_id,
+         case when {hw_c} then {hw_v} end as hw,
+         ({bl_c}) as has_bl,
+         case when {nm_c} then 'n' || (way_id % 9) end as nm
+  from (select distinct way_id from way_refs) w
+),
+sel as (
+  select way_id, hw, nm,
+         cast(case when (case {rank} else 0 end) > 1
+              then (case {rank} else 0 end) else 0 end as bigint) as zord
+  from wt
+  where nm is not null and (hw is not null or has_bl)
+)
+select s.way_id as osm_id, s.zord as z_order, c.cell as quadtree,
+       ((s.way_id % 9) = 1) as is_n1,
+       cast(s.way_id % 9 as bigint) as nm_num,
+       cast(0.0 as double) as hw_f,
+       cast(case when s.hw is null then 0 else (case {e_case} else 0 end)
+            end as bigint) as n_e,
+       cast(greatest(length(s.nm), length(coalesce(s.hw, ''))) as int)
+         as mw
+from sel s join gq_cells c using (way_id)"""
+    )
+
+
 _TAGS_SIG_EXPR = (
     "array_join(array_sort(transform(map_entries(tags),"
     " e -> concat(e.key, '=', e.value))), ';')"
@@ -2706,6 +2792,7 @@ GATE_QUERIES = {
     "q43_relation_geojson": q43_relation_geojson,
     "q44_corpus_pipeline": q44_corpus_pipeline,
     "q45_embed_dedup_keep": q45_embed_dedup_keep,
+    "q46_ref_sql_surface": q46_ref_sql_surface,
 }
 
 class _LazyOracles(dict):
@@ -2790,6 +2877,7 @@ GATE_ORACLES = _LazyOracles({
     "q43_relation_geojson": q43_oracle,  # lazy-ish: replication pass
     "q44_corpus_pipeline": q44_oracle(),
     "q45_embed_dedup_keep": q45_oracle(),
+    "q46_ref_sql_surface": q46_oracle,  # lazy-ish: builds descent CTEs
 })
 
 
