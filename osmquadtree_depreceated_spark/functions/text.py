@@ -49,6 +49,54 @@ def quality_bucket(text: str = "text") -> Column:
     )
 
 
+# Character-trigram language/domain classifier: a literal trigram->weight
+# map per class, evaluated fully natively (sequence + transform + aggregate
+# — one codegen'd pass per class, no Python).  Classes are scored by
+# summing the weights of every trigram occurrence; the winner needs at
+# least LANG_MIN_SCORE or the doc falls back to 'unk'.  Ties break by
+# LANG_CLASSES order (strict > while scanning in order).  Deterministic
+# and arithmetically replicable in DuckDB (gate q15).
+LANG_CLASSES = ["tech", "sqlish", "perf"]
+TRIGRAM_WEIGHTS = {
+    "tech": {"dat": 2, "has": 2, "spa": 2, "vec": 1, "tab": 1},
+    "sqlish": {"que": 2, "joi": 2, "mer": 2, "agg": 2, "fil": 1},
+    "perf": {"fas": 2, "slo": 2, "win": 2, "bat": 1, "sor": 1},
+}
+LANG_MIN_SCORE = 4
+
+
+def trigram_score(cls: str, text: str = "text") -> Column:
+    """Summed trigram weights for one class, natively."""
+    cases = " ".join(
+        f"when t = '{g}' then {w}"
+        for g, w in sorted(TRIGRAM_WEIGHTS[cls].items())
+    )
+    return F.expr(
+        f"case when length({text}) < 3 then 0L else "
+        f"aggregate(transform(sequence(1, length({text}) - 2), "
+        f"i -> substring({text}, i, 3)), 0L, "
+        f"(a, t) -> a + (case {cases} else 0 end)) end"
+    )
+
+
+def lang_trigram(text: str = "text") -> Column:
+    """Multi-class trigram language guess: argmax class score (ties by
+    LANG_CLASSES order), 'unk' below LANG_MIN_SCORE."""
+    scores = {c: trigram_score(c, text) for c in LANG_CLASSES}
+    best = F.greatest(*scores.values()) if len(scores) > 1 else next(
+        iter(scores.values())
+    )
+    out = F.lit("unk")
+    # build the when-chain in REVERSE class order so earlier classes win
+    # ties (each later when() wraps the earlier result)
+    for c in reversed(LANG_CLASSES):
+        out = F.when(
+            (scores[c] >= F.lit(LANG_MIN_SCORE)) & (scores[c] == best),
+            F.lit(c),
+        ).otherwise(out)
+    return out
+
+
 def bpe_token_estimate(n_chars: str = "n_chars") -> Column:
     """BPE-ish token-count estimate: ceil(chars / 4)."""
     return F.expr(f"cast(ceil({n_chars} / 4.0) as bigint)")

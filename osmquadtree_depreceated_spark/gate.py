@@ -584,24 +584,58 @@ from ts"""
 
 
 def q15_lang_id(spark, sf_dir) -> DataFrame:
-    """Heuristic language ID: stopword-ratio vote."""
+    """Multi-class language/domain ID: character-trigram weight scorer
+    (functions/text.py LANG_CLASSES/TRIGRAM_WEIGHTS), evaluated natively —
+    per-class summed trigram weights, argmax with deterministic tie-break,
+    'unk' below the min score.  The legacy stopword-ratio vote stays as a
+    second column (en_vote).  Oracle: the identical weight table evaluated
+    through DuckDB's list machinery (range/list_transform/list_aggregate)."""
     _prep(spark, sf_dir)
     from .functions import text as T
 
     return spark.table("docs_aug").select(
         "doc_id",
+        T.lang_trigram().alias("lang_guess"),
+        *[
+            T.trigram_score(c).alias(f"s_{c}")
+            for c in T.LANG_CLASSES
+        ],
         F.when(
             T.stopword_count() * 5 >= T.n_tokens(), F.lit("en")
-        ).otherwise(F.lit("unk")).alias("lang_guess"),
+        ).otherwise(F.lit("unk")).alias("en_vote"),
     )
 
 
 def q15_oracle() -> str:
+    from .functions.text import LANG_CLASSES, LANG_MIN_SCORE, TRIGRAM_WEIGHTS
+
+    score_cols = []
+    for c in LANG_CLASSES:
+        cases = " ".join(
+            f"when substr(text, i, 3) = '{g}' then {w}"
+            for g, w in sorted(TRIGRAM_WEIGHTS[c].items())
+        )
+        score_cols.append(
+            f"cast(case when length(text) < 3 then 0 else "
+            f"list_aggregate(list_transform(range(1, length(text) - 1), "
+            f"i -> (case {cases} else 0 end)), 'sum') end as bigint) "
+            f"as s_{c}"
+        )
+    best = "greatest(" + ", ".join(f"s_{c}" for c in LANG_CLASSES) + ")"
+    argmax = " ".join(
+        f"when s_{c} >= {LANG_MIN_SCORE} and s_{c} = {best} then '{c}'"
+        for c in LANG_CLASSES
+    )
     return (
-        tpch.synth_cte_prefix("docs_aug") + ",\n" + _DUCK_TEXT_CTE + """
+        tpch.synth_cte_prefix("docs_aug") + ",\n" + _DUCK_TEXT_CTE + f""",
+tri as (
+  select doc_id, {', '.join(score_cols)}, sc, nt from ts
+)
 select doc_id,
-       case when sc * 5 >= nt then 'en' else 'unk' end as lang_guess
-from ts"""
+       case {argmax} else 'unk' end as lang_guess,
+       {', '.join(f's_{c}' for c in LANG_CLASSES)},
+       case when sc * 5 >= nt then 'en' else 'unk' end as en_vote
+from tri"""
     )
 
 
@@ -1033,9 +1067,42 @@ warea as (
 def _dlit(v) -> str:
     """Float -> DuckDB DOUBLE literal: repr() is the shortest string that
     round-trips to the same float64; force e-notation so DuckDB does not
-    parse it as DECIMAL."""
-    s = repr(float(v))
-    return s if ("e" in s or "E" in s or "n" in s) else s + "e0"
+    parse it as DECIMAL.  Non-finite values (degenerate/overflowed areas)
+    need an explicit cast — DuckDB rejects bare inf/nan DOUBLE literals,
+    which would make the frozen oracle fail to PARSE instead of failing
+    the value comparison."""
+    import math
+
+    f = float(v)
+    if not math.isfinite(f):
+        return f"cast('{f}' as double)"
+    s = repr(f)
+    return s if ("e" in s or "E" in s) else s + "e0"
+
+
+def _gate_work_dir(spark, *sub: str) -> str:
+    """Run-unique scratch dir for gates that write-then-read parquet
+    (q36/q39): keyed on the Spark applicationId so two concurrent gate
+    runs by the same user never overwrite each other's files mid-read
+    (a fixed per-uid path raced; mkdtemp leaked a copy per invocation).
+    Registered for atexit cleanup — the path must outlive the returned
+    lazy DataFrame, so it cannot be deleted inside the gate itself."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"gate_parts_{os.getuid()}_{spark.sparkContext.applicationId}",
+    )
+    if root not in _gate_work_dirs:
+        _gate_work_dirs.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return os.path.join(root, *sub)
+
+
+_gate_work_dirs: set = set()
 
 
 _ylut_cache: dict = {}
@@ -1929,18 +1996,12 @@ def q36_partitioned_scan(spark, sf_dir) -> DataFrame:
     must not change results."""
     _prep(spark, sf_dir)
     import os
-    import tempfile
 
     from .plans.partitioned import pruned_tile_scan, write_cell_partitioned
 
     wb = _way_bbox_df(spark)
     geoms = wb.join(way_cells(wb, 0.05, 18), "way_id")
-    # fixed per-user session path, overwritten each invocation (mode
-    # "overwrite" below) — mkdtemp leaked one parquet copy per gate run
-    work = os.path.join(
-        tempfile.gettempdir(), f"gate_parts_{os.getuid()}"
-    )
-    path = os.path.join(work, "way_geoms")
+    path = _gate_work_dir(spark, "way_geoms")
     write_cell_partitioned(geoms, path, level=6)
     qminx, qminy, qmaxx, qmaxy = QUERY_BOXES[0][1:]
     return pruned_tile_scan(
@@ -2554,6 +2615,71 @@ from sel s join gq_cells c using (way_id)"""
     )
 
 
+# q47: multi-section Osmosis .poly region filter (sources/poly.py).
+# Section B is written as FLOAT degrees to exercise the ParseStringInt /
+# Intm scaling path (writevals.go:230-253); the oracle hardcodes the
+# expected fixed-point integers so a parser scaling bug fails the gate.
+POLY_FILE_TEXT = """test_region
+outer_a
+-6000000 502000000
+-2000000 501000000
+0 505000000
+2000000 512000000
+-1000000 516000000
+-5000000 511000000
+END
+!hole_a
+-3000000 505000000
+-1000000 505000000
+-2000000 509000000
+END
+outer_b
+1.0 50.0
+1.4 50.0
+1.2 50.4
+END
+END
+"""
+_POLY_B_LONS = [10000000, 14000000, 12000000]
+_POLY_B_LATS = [500000000, 500000000, 504000000]
+_POLY_HOLE_LONS = [-3000000, -1000000, -2000000]
+_POLY_HOLE_LATS = [505000000, 505000000, 509000000]
+
+
+def q47_poly_filter(spark, sf_dir) -> DataFrame:
+    """Osmosis .poly region filter end-to-end (filter/poly.go:179-242):
+    parse the multi-section file (outer A = q07's polygon, a '!' hole
+    inside it, outer B in float degrees), filter nodes to inside-any-outer
+    and not-inside-any-hole.  Oracle: unrolled pnpoly predicates with the
+    expected fixed-point coords hardcoded independently of the parser."""
+    _prep(spark, sf_dir)
+    import os
+    import tempfile
+
+    from .sources.poly import poly_region_filter, read_poly_file
+
+    fd, path = tempfile.mkstemp(suffix=".poly")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(POLY_FILE_TEXT)
+        region = read_poly_file(path)
+    finally:
+        os.unlink(path)
+    return poly_region_filter(spark.table("nodes"), region).select("node_id")
+
+
+def q47_oracle() -> str:
+    in_a = sqlgen.pnpoly_sql(POLY_LONS, POLY_LATS, "lon", "lat")
+    in_b = sqlgen.pnpoly_sql(_POLY_B_LONS, _POLY_B_LATS, "lon", "lat")
+    in_hole = sqlgen.pnpoly_sql(_POLY_HOLE_LONS, _POLY_HOLE_LATS,
+                                "lon", "lat")
+    return (
+        tpch.synth_cte_prefix("nodes")
+        + f"\nselect node_id from nodes "
+        f"where (({in_a}) or ({in_b})) and not ({in_hole})"
+    )
+
+
 _TAGS_SIG_EXPR = (
     "array_join(array_sort(transform(map_entries(tags),"
     " e -> concat(e.key, '=', e.value))), ';')"
@@ -2573,7 +2699,6 @@ def q39_generate_geometries(spark, sf_dir) -> DataFrame:
     frozen as VALUES (q39_oracle_build)."""
     _prep(spark, sf_dir)
     import os
-    import tempfile
 
     from .operators.geometry import generate_geometries
     from .plans.partitioned import PART_COL, write_cell_partitioned
@@ -2608,10 +2733,8 @@ def q39_generate_geometries(spark, sf_dir) -> DataFrame:
     feats = generate_geometries(
         nodes, node_tags, way_refs, way_tags, members, rel_tags
     )
-    # serving round trip: the same fixed-path overwrite scheme as q36
-    work = os.path.join(
-        tempfile.gettempdir(), f"gate_parts_{os.getuid()}", "features"
-    )
+    # serving round trip: the same run-unique scratch scheme as q36
+    work = _gate_work_dir(spark, "features")
     write_cell_partitioned(feats, work, level=6)
     back = spark.read.parquet(work)
     return back.select(
@@ -2793,6 +2916,7 @@ GATE_QUERIES = {
     "q44_corpus_pipeline": q44_corpus_pipeline,
     "q45_embed_dedup_keep": q45_embed_dedup_keep,
     "q46_ref_sql_surface": q46_ref_sql_surface,
+    "q47_poly_filter": q47_poly_filter,
 }
 
 class _LazyOracles(dict):
@@ -2878,6 +3002,7 @@ GATE_ORACLES = _LazyOracles({
     "q44_corpus_pipeline": q44_oracle(),
     "q45_embed_dedup_keep": q45_oracle(),
     "q46_ref_sql_surface": q46_oracle,  # lazy-ish: builds descent CTEs
+    "q47_poly_filter": q47_oracle(),
 })
 
 

@@ -352,6 +352,15 @@ def duplicate_clusters(pairs: DataFrame, a_col: str = "doc_a",
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # a component wider than max_iters rounds would silently keep >1
+        # doc per near-dup chain downstream (q44/q45 keep verdicts) —
+        # refuse to return partially-propagated labels
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); raise max_iters — "
+            "component diameter exceeds the round budget"
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -67,7 +67,15 @@ def calc_update_tiles(nodes: DataFrame, way_refs: DataFrame,
     merged_nodes = merge_changes(
         nodes, node_changes, "node_id", val_cols=("lon", "lat")
     )
-    changed = latest_version(node_changes, ["node_id"], [("seq", "desc")])
+    changed = latest_version(
+        node_changes,
+        ["node_id"],
+        # full-tuple descending order: equal-seq duplicate changes resolve
+        # to the same winner as the streaming stateful op's (seq,
+        # change_type, value...) tuple max — batch == incremental on ties
+        [("seq", "desc"), ("change_type", "desc"),
+         ("lon", "desc"), ("lat", "desc")],
+    )
     changed_ids = changed.select("node_id").distinct()
     deleted_ids = (
         changed.filter(F.col("change_type") == CT_DELETE)
@@ -180,7 +188,15 @@ def merge_changes(base: DataFrame, changes: DataFrame, key: str,
       delete -> row removed; modify/create -> change values replace base;
       keys without changes pass through.
     """
-    last = latest_version(changes, [key], [(seq_col, "desc")])
+    # equal-seq ties break by the full (seq, change_type, values...) tuple
+    # descending — the identical total order the streaming filterLastObj
+    # (streaming/changes.py stream_latest_version) applies, so batch and
+    # incremental paths always pick the same winner
+    last = latest_version(
+        changes, [key],
+        [(seq_col, "desc"), (ct_col, "desc")]
+        + [(v, "desc") for v in val_cols],
+    )
     merged = base.alias("b").join(
         last.alias("c"), F.col(f"b.{key}") == F.col(f"c.{key}"), "full_outer"
     )

@@ -164,15 +164,19 @@ def stream_latest_version(changes_stream: DataFrame) -> DataFrame:
     def _newest(key, pdfs, state):
         best = state.get if state.exists else None  # (seq, ct, val)
         for pdf in pdfs:
-            for r in pdf.itertuples(index=False):
-                # deterministic total order: equal-seq ties break by the
-                # full (seq, change_type, val) tuple with STRICT >, so the
-                # winner never depends on micro-batch arrival order (the
-                # batch latest_version documents needing a unique
-                # tiebreaker; here the value tuple is the tiebreaker)
-                cand = (int(r.seq), str(r.change_type), float(r.val))
-                if best is None or cand > tuple(best):
-                    best = cand
+            if not len(pdf):
+                continue
+            # deterministic total order: equal-seq ties break by the full
+            # (seq, change_type, val) tuple, so the winner never depends
+            # on micro-batch arrival order — the same tuple order batch
+            # latest_version applies.  Vectorized: one lexicographic sort
+            # per batch, no per-row Python.
+            top = pdf.sort_values(
+                ["seq", "change_type", "val"], kind="mergesort"
+            ).iloc[-1]
+            cand = (int(top.seq), str(top.change_type), float(top.val))
+            if best is None or cand > tuple(best):
+                best = cand
         if best is not None:
             state.update(best)
             yield pd.DataFrame(
