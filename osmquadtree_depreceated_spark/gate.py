@@ -1283,12 +1283,15 @@ left join warea w using (way_id)"""
 
 
 _Q27_FIXTURE = dict(n_nodes=800, n_ways=400, n_rels=120, seed=42)
+# larger fixture for q46's relation serving rows: more surviving NAMED
+# multipolygons (the view filter keeps name-is-not-null rows only)
+_Q46_REL_FIXTURE = dict(n_nodes=1600, n_ways=800, n_rels=300, seed=7)
 
 
-def _mp_fixture_df(spark) -> DataFrame:
+def _mp_fixture_df(spark, fixture=None) -> DataFrame:
     """assemble_multipolygons over the deterministic docs fixture — the
-    shared engine pipeline behind q27 (full output) and q43 (GeoJSON
-    sink round-trip)."""
+    shared engine pipeline behind q27 (full output), q43 (GeoJSON
+    sink round-trip) and q46's relation serving rows."""
     from .operators.geometry import (
         add_way_coords,
         assemble_multipolygons,
@@ -1296,7 +1299,7 @@ def _mp_fixture_df(spark) -> DataFrame:
     )
     from .sources.docs import docs_to_spark, generate_docs, parse_spans
 
-    rows, _ = generate_docs(**_Q27_FIXTURE)
+    rows, _ = generate_docs(**(fixture or _Q27_FIXTURE))
     parsed = parse_spans(docs_to_spark(spark, rows))
     nodes = parsed["nodes"].select("node_id", "lon", "lat")
     way_refs = parsed["ways"].select(
@@ -1773,31 +1776,56 @@ union all select 'r' as etype, rel_id as id from kept_rels"""
 
 
 def q30_media_features(spark, sf_dir) -> DataFrame:
-    """Multimodal plumbing: binary payload column + Arrow-batched decode /
-    feature extraction (decode stubbed deterministically — no media libs in
-    this container; the batch plumbing is real)."""
+    """Multimodal pipeline over REAL image bytes: a deterministic tiny
+    grayscale PNG per document (stdlib zlib/struct encoder), decoded by
+    the engine's own stdlib PNG decoder (signature + IHDR + IDAT inflate
+    + scanline de-filtering) inside the Arrow mapInPandas stage, features
+    computed from the actual pixel array.  The oracle never touches the
+    compressed bytes — it predicts every decoded value from the
+    synthesizer's closed form, so a decoder bug fails the hash."""
     _prep(spark, sf_dir)
-    from .operators.media import extract_media_features, media_blobs
+    from .operators.media import extract_media_features, png_blobs
 
-    media = media_blobs(spark.table("documents"))
-    return extract_media_features(media)
+    media = png_blobs(spark.table("documents"))
+    return extract_media_features(media).select(
+        "doc_id", "media_ref", "width", "height",
+        *[f"f{i}" for i in range(8)],
+    )
 
 
 def q30_oracle() -> str:
-    feats = ",\n       ".join(
-        f"cast(ascii(substr(sha256(text), {3 + i}, 1)) as bigint) as f{i}"
-        for i in range(8)
-    )
+    # pixel(x, y) = (7x + 13y + 31*id) mod 256 on a (4 + id%13) x
+    # (4 + id%11) grid — replicated arithmetically (media.py
+    # synth_png_bytes), never via the PNG bytes
+    pix = "((i % w) * 7 + (i // w) * 13 + 31 * doc_id) % 256"
     return f"""
+with dims as (
+  select doc_id,
+         4 + doc_id % 13 as w,
+         4 + doc_id % 11 as h
+  from documents
+),
+px as (
+  select doc_id, w, h,
+         list_transform(range(0, w * h), i -> {pix}) as p
+  from dims
+)
 select doc_id,
-       'm://' || md5(text) as media_ref,
-       cast(octet_length(unhex(sha256(text))) as int) as n_bytes,
-       cast(((ascii(substr(sha256(text), 1, 1)) % 16) + 1) * 64 as int)
-         as width,
-       cast(((ascii(substr(sha256(text), 2, 1)) % 16) + 1) * 64 as int)
-         as height,
-       {feats}
-from documents"""
+       'png://' || cast(doc_id as varchar) as media_ref,
+       cast(w as int) as width,
+       cast(h as int) as height,
+       cast(list_aggregate(p, 'sum') as bigint) as f0,
+       cast(list_aggregate(list_transform(range(0, w),
+            x -> (x * 7 + 31 * doc_id) % 256), 'sum') as bigint) as f1,
+       cast(list_aggregate(list_transform(range(0, h),
+            y -> (y * 13 + 31 * doc_id) % 256), 'sum') as bigint) as f2,
+       cast((31 * doc_id) % 256 as bigint) as f3,
+       cast(((w - 1) * 7 + (h - 1) * 13 + 31 * doc_id) % 256 as bigint)
+         as f4,
+       cast(list_aggregate(p, 'max') as bigint) as f5,
+       cast(list_aggregate(p, 'min') as bigint) as f6,
+       cast(len(list_filter(p, v -> v > 127)) as bigint) as f7
+from px"""
 
 
 def q31_node_parent(spark, sf_dir) -> DataFrame:
@@ -2529,6 +2557,35 @@ select v.vec_id,
 from allv v left join clusters c using (vec_id)"""
 
 
+def _register_ref_views(spark, include_relations: bool) -> None:
+    """Build the planet_osm_line / planet_osm_polygon serving views over
+    the synth way geometries (+ optionally the relation-assembled
+    multipolygons, whose osm_id the view NEGATES per
+    packeddatastore.go:354-359).  Shared by q46 (Column-builder surface)
+    and q48 (verbatim SQL-string surface)."""
+    from .operators.geometry import add_way_coords, make_way_geometries
+    from .plans.sqlcompat import register_geometry_views
+
+    wc = add_way_coords(spark.table("way_refs"), spark.table("nodes"))
+    g = make_way_geometries(wc, way_tags=spark.sql(_WAY_TAGS_SPARK_SQL))
+    feats = g.filter(F.col("is_feature")).select(
+        F.lit("way").alias("kind"), F.col("way_id").alias("id"),
+        "geom_type", "z_order", "cell", "tags",
+    )
+    polys = feats.filter(F.col("geom_type") == 3)
+    if include_relations:
+        mp = _mp_fixture_df(spark, _Q46_REL_FIXTURE).select(
+            F.lit("relation").alias("kind"), F.col("rel_id").alias("id"),
+            F.lit(3).alias("geom_type"), "z_order", "cell", "tags",
+        )
+        polys = polys.unionByName(mp)
+    register_geometry_views(
+        spark,
+        lines=feats.filter(F.col("geom_type") == 2),
+        polygons=polys,
+    )
+
+
 def q46_ref_sql_surface(spark, sf_dir) -> DataFrame:
     """The reference SQL serving surface end-to-end (sqlselect/ +
     packeddatastore.go:351-378): way geometries registered as
@@ -2538,24 +2595,15 @@ def q46_ref_sql_surface(spark, sf_dir) -> DataFrame:
     numchar, maxwidth (plans/sqlcompat.py).  Oracle replicates every
     quirk arithmetically plus the buffer-0.025 cell descent."""
     _prep(spark, sf_dir)
-    from .operators.geometry import add_way_coords, make_way_geometries
     from .plans.sqlcompat import (
         make_float,
         make_integer,
         maxwidth,
         numchar,
         ref_like,
-        register_geometry_views,
     )
 
-    wc = add_way_coords(spark.table("way_refs"), spark.table("nodes"))
-    g = make_way_geometries(wc, way_tags=spark.sql(_WAY_TAGS_SPARK_SQL))
-    feats = g.filter(F.col("is_feature"))
-    register_geometry_views(
-        spark,
-        lines=feats.filter(F.col("geom_type") == 2),
-        polygons=feats.filter(F.col("geom_type") == 3),
-    )
+    _register_ref_views(spark, include_relations=True)
     both = spark.table("planet_osm_line").unionByName(
         spark.table("planet_osm_polygon"), allowMissingColumns=True
     )
@@ -2567,6 +2615,70 @@ def q46_ref_sql_surface(spark, sf_dir) -> DataFrame:
         numchar(F.coalesce(F.col("highway"), F.lit("")), "e").alias("n_e"),
         maxwidth(F.concat_ws("\n", "name", "highway")).alias("mw"),
     )
+
+
+def _q46_rel_rows() -> list | None:
+    """Frozen relation rows for q46: the scalar multipolygon replication
+    (_mp_replicate) over the q46 fixture, cells from the INDEPENDENT
+    DuckDB buffered descent @0.025, quirk columns replicated in Python
+    with the reference rules (try_cast-or-0, numchar, concat_ws-skips-
+    null maxwidth).  osm_id is the NEGATED rel_id — the sign-decode under
+    test.  None when DuckDB is unavailable."""
+    from .sources.docs import generate_docs
+
+    _, truth = generate_docs(**_Q46_REL_FIXTURE)
+    reps = [d for d in _mp_replicate(truth) if "name" in d["tags"]]
+    if not reps:
+        return []
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        bbox_vals = ", ".join(
+            f"({d['rel_id']}, {d['minx']}, {d['miny']}, "
+            f"{d['maxx']}, {d['maxy']})" for d in reps
+        )
+        cell_sql = (
+            f"with src(rel_id, minx, miny, maxx, maxy) as "
+            f"(values {bbox_vals}),\n"
+            + calculate_cte_fragments("select * from src", "rel_id",
+                                      0.025, 18, prefix="mp")
+            + "\nselect rel_id, cell from mp_cells"
+        )
+        cell_by_rel = dict(con.execute(cell_sql).fetchall())
+        con.close()
+    except Exception:
+        return None
+
+    def _int_or_0(s: str) -> int:
+        try:
+            return int(s)
+        except ValueError:
+            return 0
+
+    def _float_or_0(s: str | None) -> float:
+        if s is None:
+            return 0.0
+        try:
+            return float(s)
+        except ValueError:
+            return 0.0
+
+    rows = []
+    for d in reps:
+        name = d["tags"]["name"]
+        hw = d["tags"].get("highway")
+        rows.append((
+            -d["rel_id"],                              # sign-decode
+            int(d["z_order"]),
+            int(cell_by_rel[d["rel_id"]]),
+            name.startswith("n1"),                     # prefix-only LIKE
+            _int_or_0(name[1:4]),                      # substr(2,3) or 0
+            _float_or_0(hw),
+            (hw or "").count("e"),
+            max(len(name), len(hw)) if hw is not None else len(name),
+        ))
+    return rows
 
 
 def q46_oracle() -> str:
@@ -2612,6 +2724,137 @@ select s.way_id as osm_id, s.zord as z_order, c.cell as quadtree,
        cast(greatest(length(s.nm), length(coalesce(s.hw, ''))) as int)
          as mw
 from sel s join gq_cells c using (way_id)"""
+        + _q46_rel_union_sql()
+    )
+
+
+def _q46_rel_union_sql() -> str:
+    """UNION ALL fragment appending the frozen relation serving rows
+    (negative osm_id) to the q46 oracle; empty string when none."""
+    rows = _q46_rel_rows()
+    if not rows:
+        return ""
+    vals = ",\n  ".join(
+        f"({oi}, {zo}, {cell}, {str(n1).lower()}, {nm}, {_dlit(hf)}, "
+        f"{ne}, {mw})"
+        for oi, zo, cell, n1, nm, hf, ne, mw in rows
+    )
+    return f"""
+union all
+select cast(osm_id as bigint), cast(z_order as bigint),
+       cast(quadtree as bigint), is_n1, cast(nm_num as bigint),
+       cast(hw_f as double), cast(n_e as bigint), cast(mw as int)
+from (values\n  {vals}\n) as r(osm_id, z_order, quadtree, is_n1, nm_num,
+                               hw_f, n_e, mw)"""
+
+
+# q48: the verbatim reference-dialect SQL string, executed through the
+# rewrite shim (plans/refsql.py).  Exercises every lexer/parser quirk in
+# a value-affecting way: ::type strip, prefix-only LIKE (the '%motorway'
+# disjunct must contribute NOTHING — native LIKE would admit null-name
+# motorway rows), UNION-means-UNION-ALL (branch 3 duplicates the n1
+# lines; a deduping UNION would halve them), substr edge rules,
+# parse-or-0 casts, numchar, maxwidth, strreplace-as-documented.
+_Q48_REF_SQL = """select osm_id, z_order, quadtree,
+       makeinteger(substr(name, 2, 3)) as nm_num,
+       makefloat(highway) as hw_f,
+       numchar(strreplace(name, 'n', 'nn'), 'n') as n_n,
+       maxwidth(name) as mw,
+       substr(name, 0, 2) as nm0
+from planet_osm_line
+where name like 'n%' and 7::integer = 7
+union
+select osm_id, z_order, quadtree,
+       makeinteger(substr(name, 2, 3)) as nm_num,
+       makefloat(highway) as hw_f,
+       numchar(strreplace(name, 'n', 'nn'), 'n') as n_n,
+       maxwidth(name) as mw,
+       substr(name, 0, 2) as nm0
+from planet_osm_polygon
+where name like 'n%' or highway like '%motorway'
+union
+select osm_id, z_order, quadtree,
+       makeinteger(substr(name, 2, 3)) as nm_num,
+       makefloat(highway) as hw_f,
+       numchar(strreplace(name, 'n', 'nn'), 'n') as n_n,
+       maxwidth(name) as mw,
+       substr(name, 0, 2) as nm0
+from planet_osm_line
+where name like 'n1%'"""
+
+
+def q48_ref_sql_string(spark, sf_dir) -> DataFrame:
+    """\"Paste a reference query and run it\": the verbatim dialect string
+    above goes through rewrite_ref_sql (macro expansion to native
+    expressions — zero Python at execution) and runs against the
+    registered serving views.  Oracle: full arithmetic replication of
+    the three branches, including which LIKE disjuncts are dead."""
+    _prep(spark, sf_dir)
+    from .plans.refsql import ref_sql
+
+    _register_ref_views(spark, include_relations=False)
+    return ref_sql(spark, _Q48_REF_SQL)
+
+
+def q48_oracle() -> str:
+    from .qtcore.rings import HIGHWAY_ORDER
+
+    hw_c, hw_v = _WAY_TAG_CASES["highway"]
+    bl_c, _ = _WAY_TAG_CASES["building"]
+    nm_c, _ = _WAY_TAG_CASES["name"]
+    rank = " ".join(
+        f"when hw = '{k}' then {v}"
+        for k, v in sorted(HIGHWAY_ORDER.items())
+    )
+    return (
+        tpch.synth_cte_prefix("nodes", "way_refs")
+        + f""",
+{_WB_CTE},
+{calculate_cte_fragments("select * from wb", "way_id", 0.025, 18,
+                         prefix="gq")},
+pts as (
+  select w.way_id, w.ref,
+         row_number() over (partition by w.way_id order by w.pos, w.ref)
+           as rn,
+         count(*) over (partition by w.way_id) as np
+  from way_refs w join nodes n on w.ref = n.node_id
+),
+ends as (
+  select way_id, np,
+         min(case when rn = 1 then ref end) as first_ref,
+         min(case when rn = np then ref end) as last_ref
+  from pts group by way_id, np
+),
+wt as (
+  select way_id,
+         (np >= 3 and first_ref = last_ref) as closed,
+         case when {hw_c} then {hw_v} end as hw,
+         ({bl_c}) as has_bl,
+         case when {nm_c} then 'n' || (way_id % 9) end as nm
+  from ends
+),
+feat as (
+  select w.way_id, w.nm, w.hw, w.closed, w.has_bl,
+         cast(case when (case {rank} else 0 end) > 1
+              then (case {rank} else 0 end) else 0 end as bigint) as zord,
+         c.cell
+  from wt w join gq_cells c using (way_id)
+  where w.nm is not null and (w.hw is not null or w.has_bl)
+),
+outrow as (
+  select way_id, nm, closed, has_bl,
+         way_id as osm_id, zord as z_order, cell as quadtree,
+         cast(way_id % 9 as bigint) as nm_num,
+         cast(0.0 as double) as hw_f,
+         cast(2 as bigint) as n_n,
+         cast(2 as int) as mw,
+         'n' as nm0
+  from feat
+)
+select osm_id, z_order, quadtree, nm_num, hw_f, n_n, mw, nm0 from outrow
+union all
+select osm_id, z_order, quadtree, nm_num, hw_f, n_n, mw, nm0 from outrow
+where nm = 'n1' and not (closed and has_bl)"""
     )
 
 
@@ -2917,6 +3160,7 @@ GATE_QUERIES = {
     "q45_embed_dedup_keep": q45_embed_dedup_keep,
     "q46_ref_sql_surface": q46_ref_sql_surface,
     "q47_poly_filter": q47_poly_filter,
+    "q48_ref_sql_string": q48_ref_sql_string,
 }
 
 class _LazyOracles(dict):
@@ -3003,6 +3247,7 @@ GATE_ORACLES = _LazyOracles({
     "q45_embed_dedup_keep": q45_oracle(),
     "q46_ref_sql_surface": q46_oracle,  # lazy-ish: builds descent CTEs
     "q47_poly_filter": q47_oracle(),
+    "q48_ref_sql_string": q48_oracle,  # lazy-ish: builds descent CTEs
 })
 
 

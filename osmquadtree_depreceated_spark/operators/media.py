@@ -1,21 +1,28 @@
 """Multimodal media columns: opaque binary payloads + typed metadata with
-real Spark-side plumbing (schema, partitioning, Arrow batch shape) and a
-STUBBED decode.
+real Spark-side plumbing (schema, partitioning, Arrow batch shape).
 
-The container has no image/audio libraries, so `extract_media_features`
-tries PIL and falls back to a clearly-marked deterministic stub that
-derives metadata from the payload's content hash — the mapInPandas batch
-plumbing (binary column in, struct-of-features out) is real and tested;
-swapping the stub for an actual decoder changes only `_decode_stub`.
+PNG payloads get a REAL decode — signature/IHDR parse, IDAT inflate and
+full scanline de-filtering (all five filter types) with nothing but
+stdlib zlib + struct + numpy, so the pipeline exercises actual pixel
+bytes end to end (gate q30 hashes features of the decoded pixels against
+an arithmetic oracle).  Non-PNG payloads fall back to the clearly-marked
+deterministic stub (no ffmpeg/PIL in this container) — the mapInPandas
+batch plumbing (binary column in, struct-of-features out) is identical
+either way; a real deployment swaps `_decode_stub` for the codec.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import BinaryType
 
 N_FEATURES = 8
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def media_blobs(docs_with_text: DataFrame, text_col: str = "text",
@@ -28,6 +35,127 @@ def media_blobs(docs_with_text: DataFrame, text_col: str = "text",
         F.expr(f"concat('m://', md5({text_col}))").alias("media_ref"),
         F.expr(f"sha2({text_col}, 256)").alias("sha_hex"),
         F.expr(f"unhex(sha2({text_col}, 256))").alias("blob"),
+    )
+
+
+# ------------------------------------------------ real PNG codec (stdlib)
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload)) + tag + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def synth_png_bytes(doc_id: int) -> bytes:
+    """Deterministic tiny grayscale PNG per doc: w = 4 + id%13,
+    h = 4 + id%11, pixel(x, y) = (7x + 13y + 31*id) mod 256 — closed-form
+    pixels, so an oracle can predict every decoded feature arithmetically
+    without being able to touch the compressed bytes."""
+    w, h = 4 + doc_id % 13, 4 + doc_id % 11
+    x = np.arange(w, dtype=np.int64)
+    y = np.arange(h, dtype=np.int64)[:, None]
+    px = ((7 * x + 13 * y + 31 * doc_id) % 256).astype(np.uint8)
+    raw = b"".join(b"\x00" + row.tobytes() for row in px)  # filter 0 rows
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse + inflate + de-filter an 8-bit grayscale PNG with stdlib
+    only.  Supports all five scanline filters (None/Sub/Up/Average/Paeth)
+    — the synthesizer emits filter 0, but any conforming encoder's
+    grayscale output decodes.  Returns (width, height, h x w uint8)."""
+    if blob[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = b""
+    while pos + 8 <= len(blob):
+        (length,), tag = struct.unpack(">I", blob[pos:pos + 4]), \
+            blob[pos + 4:pos + 8]
+        payload = blob[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            if depth != 8 or ctype != 0:
+                raise ValueError("only 8-bit grayscale supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (w + 1):
+        raise ValueError("bad scanline byte count")
+    out = np.zeros((h, w), dtype=np.uint8)
+    prev = np.zeros(w, dtype=np.int32)
+    for y in range(h):
+        line = raw[y * (w + 1):(y + 1) * (w + 1)]
+        f, cur = line[0], np.frombuffer(
+            line[1:], dtype=np.uint8).astype(np.int32)
+        if f == 0:
+            pass
+        elif f == 2:  # Up
+            cur = (cur + prev) % 256
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            rec = np.zeros(w, dtype=np.int32)
+            for x in range(w):
+                a = rec[x - 1] if x else 0   # left
+                b = prev[x]                  # above
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = prev[x - 1] if x else 0  # upper-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c)
+                rec[x] = (cur[x] + pred) % 256
+            cur = rec
+        else:
+            raise ValueError(f"unknown filter {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return w, h, out
+
+
+def png_pixel_features(px: np.ndarray) -> list[int]:
+    """The q30 feature vector over decoded pixels: total sum, first-row
+    sum, first-col sum, corner values, max, min, bright-pixel count —
+    each arithmetically predictable from the synthesizer's closed form."""
+    p = px.astype(np.int64)
+    return [
+        int(p.sum()), int(p[0, :].sum()), int(p[:, 0].sum()),
+        int(p[0, 0]), int(p[-1, -1]), int(p.max()), int(p.min()),
+        int((p > 127).sum()),
+    ]
+
+
+def png_blobs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesized PNG payload per document (deterministic from the id).
+    The encoder is inherently per-image Python (zlib stream per row) —
+    fixture synthesis, not a hot-path operator; batches still move
+    through Arrow."""
+
+    @F.pandas_udf(BinaryType())
+    def _mk(ids: pd.Series) -> pd.Series:
+        return pd.Series(
+            [synth_png_bytes(int(i)) for i in ids], dtype=object
+        )
+
+    return docs.select(
+        id_col,
+        F.concat(F.lit("png://"), F.col(id_col).cast("string"))
+        .alias("media_ref"),
+        _mk(F.col(id_col)).alias("blob"),
     )
 
 
@@ -54,6 +182,8 @@ def extract_media_features(media: DataFrame) -> DataFrame:
         + feat_cols
     )
 
+    has_sha = "sha_hex" in media.columns
+
     def _batches(it):
         for pdf in it:
             n = len(pdf)
@@ -64,8 +194,13 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             }
             widths, heights = np.zeros(n, np.int32), np.zeros(n, np.int32)
             feats = np.zeros((n, N_FEATURES), np.int64)
-            for i, (sha, blob) in enumerate(zip(pdf["sha_hex"], pdf["blob"])):
-                w, h, f = _decode_stub(sha, blob)
+            shas = pdf["sha_hex"] if has_sha else [""] * n
+            for i, (sha, blob) in enumerate(zip(shas, pdf["blob"])):
+                if bytes(blob[:8]) == PNG_MAGIC:
+                    w, h, px = decode_png(bytes(blob))
+                    f = png_pixel_features(px)
+                else:
+                    w, h, f = _decode_stub(sha, blob)
                 widths[i], heights[i] = w, h
                 feats[i] = f
             out["width"] = widths

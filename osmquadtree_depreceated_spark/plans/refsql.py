@@ -1,0 +1,258 @@
+"""Reference-dialect SQL string front end.
+
+The reference accepts SQL text through its own lexer/parser
+(sqlselect/osmselect.go, sqlselect/sql.y) with three departures from
+standard SQL that Spark SQL will not reproduce by itself:
+
+  * numeric literals may carry a PostgreSQL-style ``::type`` suffix that
+    the LEXER simply strips (osmselect.go:109-143 makeNumVal/makeFloatVal
+    cut the value at ``::``);
+  * ``LIKE`` matches PREFIX patterns only — any other pattern shape
+    evaluates to constant false (functions.go:309-314);
+  * the quirk scalar functions substr / makeinteger / makefloat /
+    numchar / maxwidth / strreplace (functions.go:95-165,309-414).
+
+``rewrite_ref_sql`` turns such a query string into plain Spark SQL by
+macro-expanding the quirk functions into native expressions (everything
+stays inside whole-stage codegen — no UDF registration, nothing Python
+at execution time) and ``ref_sql`` runs it against the registered
+planet_osm_* views (plans/sqlcompat.register_geometry_views).
+
+strreplace expands to the DOCUMENTED-correct replace: the reference's
+own strreplace body is dead code that returns its input unchanged
+(functions.go:44 bug) — recorded as a divergence in FIXTURES.md §3.
+
+Limits (documented): the LIKE rewrite recognizes an identifier /
+qualified-name / call / parenthesized left operand; a non-prefix pattern
+behind a stranger operand shape raises rather than mis-rewriting.
+"""
+
+from __future__ import annotations
+
+import re
+
+# ----------------------------------------------------- string masking
+
+_STR_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def _mask_strings(sql: str) -> tuple[str, list[str]]:
+    """Replace string literals with \x00<idx>\x00 placeholders so the
+    rewriters never touch quoted content."""
+    found: list[str] = []
+
+    def _sub(m):
+        found.append(m.group(0))
+        return f"\x00{len(found) - 1}\x00"
+
+    return _STR_RE.sub(_sub, sql), found
+
+
+def _unmask(sql: str, found: list[str]) -> str:
+    for i, s in enumerate(found):
+        sql = sql.replace(f"\x00{i}\x00", s)
+    return sql
+
+
+# ------------------------------------------------- call-site scanning
+
+def _find_call(sql: str, name: str, start: int = 0):
+    """First `name(args...)` at/after `start` (case-insensitive, not part
+    of a longer identifier): (lo, hi, [arg, ...]) with args split at
+    top-level commas, or None."""
+    pat = re.compile(rf"(?<![\w.]){re.escape(name)}\s*\(", re.IGNORECASE)
+    m = pat.search(sql, start)
+    if not m:
+        return None
+    depth, i = 1, m.end()
+    args, a0 = [], m.end()
+    while i < len(sql) and depth:
+        ch = sql[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                args.append(sql[a0:i].strip())
+        elif ch == "," and depth == 1:
+            args.append(sql[a0:i].strip())
+            a0 = i + 1
+        i += 1
+    if depth:
+        raise ValueError(f"unbalanced parens in {name}(...) call")
+    return m.start(), i, [a for a in args if a != ""]
+
+
+def _expand_all(sql: str, name: str, render) -> str:
+    """Expand every `name(...)` via render(args) -> str, innermost-last
+    (repeated scans until none remain)."""
+    guard = 0
+    while True:
+        hit = _find_call(sql, name)
+        if hit is None:
+            return sql
+        lo, hi, args = hit
+        sql = sql[:lo] + render(args) + sql[hi:]
+        guard += 1
+        if guard > 500:
+            raise ValueError(f"runaway {name} expansion")
+
+
+# ------------------------------------------------------ quirk macros
+
+def _mi(args):
+    (e,) = args
+    return f"coalesce(try_cast(({e}) as bigint), 0)"
+
+
+def _mf(args):
+    (e,) = args
+    return f"coalesce(try_cast(({e}) as double), cast(0.0 as double))"
+
+
+def _nc(args):
+    s, c = args
+    return (
+        f"cast((length(({s})) - length(replace(({s}), ({c}), ''))) "
+        f"/ length(({c})) as bigint)"
+    )
+
+
+def _mw(args):
+    (s,) = args
+    return f"array_max(transform(split(({s}), '\\n'), t -> length(t)))"
+
+
+def _sr(args):
+    s, a, b = args
+    return f"replace(({s}), ({a}), ({b}))"
+
+
+def _sub2(s, f):
+    adj = f"(case when ({f}) = 0 then 1 else ({f}) end)"
+    return (
+        f"(case when length(({s})) >= greatest({adj}, 1) "
+        f"then substring(({s}), {adj}, length(({s}))) else null end)"
+    )
+
+
+def _sub3(s, f, c):
+    adj_f = f"(case when ({f}) = 0 then 1 else ({f}) end)"
+    adj_c = f"(case when ({f}) = 0 then ({c}) - 1 else ({c}) end)"
+    return (
+        f"(case when length(({s})) >= greatest({adj_f}, 1) "
+        f"and {adj_c} >= 0 "
+        f"then substring(({s}), {adj_f}, {adj_c}) else null end)"
+    )
+
+
+def _substr(args):
+    if len(args) == 2:
+        return _sub2(*args)
+    if len(args) == 3:
+        return _sub3(*args)
+    raise ValueError("substr takes 2 or 3 arguments")
+
+
+_MACROS = (
+    ("makeinteger", _mi),
+    ("makefloat", _mf),
+    ("numchar", _nc),
+    ("maxwidth", _mw),
+    ("strreplace", _sr),
+    ("substr", _substr),
+)
+
+
+# ------------------------------------------------------ LIKE rewrite
+
+_LIKE_RE = re.compile(r"\blike\s*(\x00\d+\x00)", re.IGNORECASE)
+_IDENT_CH = re.compile(r"[\w.\"]")
+
+
+def _operand_span(sql: str, end: int) -> int:
+    """Start index of the expression ending (exclusive) at `end`:
+    identifier / qualified name / call / parenthesized group."""
+    i = end - 1
+    while i >= 0 and sql[i].isspace():
+        i -= 1
+    if i < 0:
+        raise ValueError("LIKE with no left operand")
+    if sql[i] == ")":
+        depth = 0
+        while i >= 0:
+            if sql[i] == ")":
+                depth += 1
+            elif sql[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            i -= 1
+        if depth:
+            raise ValueError("unbalanced parens before LIKE")
+        j = i - 1  # a call? absorb the function name
+        while j >= 0 and _IDENT_CH.match(sql[j]):
+            j -= 1
+        return j + 1
+    if sql[i] == "\x00":  # a masked string-literal operand
+        j = sql.rindex("\x00", 0, i)
+        return j
+    j = i
+    while j >= 0 and _IDENT_CH.match(sql[j]):
+        j -= 1
+    if j == i:
+        raise ValueError(
+            f"cannot locate LIKE operand before position {end}; "
+            "parenthesize it or use the Column builders"
+        )
+    return j + 1
+
+
+def _rewrite_like(masked: str, strings: list[str]) -> str:
+    """Prefix-shaped patterns keep native LIKE (identical semantics);
+    anything else becomes constant false with the operand still
+    referenced (null-safe, schema-checked)."""
+    out, pos = masked, 0
+    while True:
+        m = _LIKE_RE.search(out, pos)
+        if not m:
+            return out
+        lit = strings[int(m.group(1).strip("\x00"))]
+        pat = lit[1:-1].replace("''", "'")
+        prefix_only = (
+            pat.endswith("%") and "%" not in pat[:-1] and "_" not in pat
+        )
+        if prefix_only:
+            pos = m.end()
+            continue
+        lo = _operand_span(out, m.start())
+        operand = out[lo:m.start()].strip()
+        repl = f"(false and ({operand}) is not null)"
+        out = out[:lo] + repl + out[m.end():]
+        pos = lo + len(repl)
+
+
+# ------------------------------------------------------------ driver
+
+_PGCAST_RE = re.compile(r"(?<=[\d.])::\s*[A-Za-z_]+")
+# reference UNION has NO distinct variant and never dedups: sql.y:112-119
+# routes UNION straight to the concatenating table (tables.go:53-74)
+_UNION_RE = re.compile(r"\bunion\b(?!\s+all\b)", re.IGNORECASE)
+
+
+def rewrite_ref_sql(sql: str) -> str:
+    """Reference-dialect SQL text -> plain Spark SQL (pure string
+    transform, unit-testable without a session)."""
+    masked, strings = _mask_strings(sql)
+    masked = _PGCAST_RE.sub("", masked)          # 5::integer -> 5
+    masked = _UNION_RE.sub("union all", masked)  # UNION means UNION ALL
+    masked = _rewrite_like(masked, strings)
+    for name, render in _MACROS:
+        masked = _expand_all(masked, name, render)
+    return _unmask(masked, strings)
+
+
+def ref_sql(spark, sql: str):
+    """Run a verbatim reference-dialect query against the registered
+    planet_osm_* views."""
+    return spark.sql(rewrite_ref_sql(sql))

@@ -86,10 +86,22 @@ def register_geometry_views(spark, points: DataFrame | None = None,
                      ("planet_osm_polygon", polygons)):
         if df is None:
             continue
-        cols = [
-            F.col("way_id").alias("osm_id") if "way_id" in df.columns
-            else F.col("node_id").alias("osm_id"),
-        ]
+        # osm_id sign-decode (packeddatastore.go:354-359): the reference
+        # packs the element type into the id's top bits and NEGATES the
+        # serving id when they decode to relation (id>>59 == 2) — so
+        # `osm_id < 0` means "assembled relation geometry" to every
+        # downstream consumer.  Here the origin is an explicit `kind`
+        # column (with a plain `id`); way/node-only tables keep their
+        # natural id column.
+        if "kind" in df.columns and "id" in df.columns:
+            cols = [
+                F.when(F.col("kind") == "relation", -F.col("id"))
+                .otherwise(F.col("id")).alias("osm_id"),
+            ]
+        elif "way_id" in df.columns:
+            cols = [F.col("way_id").alias("osm_id")]
+        else:
+            cols = [F.col("node_id").alias("osm_id")]
         if "z_order" in df.columns:
             cols.append(F.col("z_order"))
         if "way_area" in df.columns:

@@ -23,6 +23,7 @@ def _probe(cpus, amplify, sf_dir):
         [sys.executable, os.path.join("tools", "scale_stages.py"),
          str(cpus), str(amplify), sf_dir],
         capture_output=True, text=True, check=True,
+        env={**os.environ, "BENCH_SCALING_PROBE": "1"},
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
