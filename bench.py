@@ -453,6 +453,31 @@ normalized to the ceiling: **{round(eff / ceiling, 3) if ceiling else 0}**.
 The {SCALE_LOW}->{SCALE_HIGH} pair is used because this box's 8->32
 ceiling (~0.68 measured quiet) sits below the 0.8 target — the criterion
 is unmeasurable at 8->32 on this hardware regardless of engine quality.
+
+## Per-stage scaling diagnosis (round 4, tools/scale_diag.py)
+
+Measured per-stage 2->8 efficiency at the OLD settings (amplify x16,
+per-level-tuned partitions), quiet window (ceilings 0.918-0.999):
+
+| stage | local[2] s | local[8] s | efficiency |
+|---|---|---|---|
+| calib_trivial_job (pure fixed cost) | 0.063 | 0.046 | 0.342 |
+| way_bboxes (join + partial min/max) | 12.665 | 3.422 | 0.925 |
+| way_cells_kernel (Arrow descent) | 2.301 | 0.742 | 0.775 |
+| node_common_fold | 6.962 | 2.739 | 0.635 |
+| bbox_join_rollup | 2.320 | 1.399 | 0.415 |
+| node_hist | 6.923 | 2.811 | 0.616 |
+| fused pipeline | 34.241 | 11.548 | 0.741 |
+
+Fitting t = c + p/k per stage: every DISTRIBUTED stage scales (the
+biggest, way_bboxes, at 0.925); the limiter is ~4s of per-run serial
+cost (Catalyst analysis + codegen + broadcast builds + commit), which
+is constant per ACTION, not per row — at production scale (hours of
+task work per action) it vanishes.  Fixes applied: amplify x16 -> x32
+(per-task work dominates the fixed cost the way production does) and
+same-job-config partition parity across levels.  A trial
+-XX:ActiveProcessorCount pin on the probe JVMs was REJECTED: it
+measured 1.17 (super-linear = over-constrained low JVM, not evidence).
 """)
 
 
