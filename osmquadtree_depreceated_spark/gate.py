@@ -2858,6 +2858,92 @@ where nm = 'n1' and not (closed and has_bl)"""
     )
 
 
+# q49: LocTest tile tests — IntersectsQuadtree / ContainsQuadtree over
+# the .poly region (filter/poly.go:74-108,143-158; qt.Bounds(0.05),
+# quadtree.go:139-177).
+
+
+def q49_poly_tile_tests(spark, sf_dir) -> DataFrame:
+    """Region tile tests for every distinct node cell: buffered cell
+    bounds (vectorized descent kernel) -> envelope intersect / contain +
+    four-corner pnpoly membership, one Arrow map stage.  Oracle: cells
+    from the INDEPENDENT DuckDB point-cell pass, bounds + corners from
+    the independent scalar port (qtcore/scalar_ref), frozen as VALUES.
+    Reference's Bbox.Contains Miny/Minx typo and the multi-section
+    always-false Contains are implemented with the intended semantics
+    (documented divergences, FIXTURES.md §3)."""
+    _prep(spark, sf_dir)
+    from .sources.poly import parse_poly, with_region_tile_tests
+
+    region = parse_poly(POLY_FILE_TEXT)
+    cells = (
+        with_point_cell(spark.table("nodes"), "lon", "lat", "cell", 18)
+        .select("cell")
+        .distinct()
+    )
+    return with_region_tile_tests(cells, region, buffer=0.05)
+
+
+def q49_oracle_build() -> str | None:
+    import os
+
+    from .qtcore import scalar_ref as SR
+
+    sf_dir = (
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+        or os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
+        or "/root/testdata/sf0.01"
+    )
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            f"create view part as select * from "
+            f"read_parquet('{sf_dir}/part.parquet')"
+        )
+        cell = sqlgen.point_cell_sql(DUCK, "lon", "lat", 18)
+        cells = [r[0] for r in con.execute(
+            tpch.synth_cte_prefix("nodes")
+            + f"\nselect distinct {cell} as cell from nodes"
+        ).fetchall()]
+        con.close()
+    except Exception:
+        return None
+
+    outers = [(POLY_LONS, POLY_LATS), (_POLY_B_LONS, _POLY_B_LATS)]
+    holes = [(_POLY_HOLE_LONS, _POLY_HOLE_LATS)]
+    ex0 = min(min(ls) for ls, _ in outers)
+    ex1 = max(max(ls) for ls, _ in outers)
+    ey0 = min(min(ls) for _, ls in outers)
+    ey1 = max(max(ls) for _, ls in outers)
+
+    def member(x: int, y: int) -> bool:
+        inside = any(SR.point_in_poly(ls, lt, x, y) for ls, lt in outers)
+        return inside and not any(
+            SR.point_in_poly(ls, lt, x, y) for ls, lt in holes
+        )
+
+    rows = []
+    for c in cells:
+        minx, miny, maxx, maxy = SR.cell_bounds(int(c), 0.05)
+        inter = (ex0 <= maxx and ey0 <= maxy
+                 and ex1 >= minx and ey1 >= miny)
+        cont = (ex0 <= minx and ey0 <= miny
+                and ex1 >= maxx and ey1 >= maxy)
+        cont = cont and member(minx, miny) and member(minx, maxy)
+        cont = cont and member(maxx, miny) and member(maxx, maxy)
+        rows.append((int(c), inter, cont))
+    vals = ",\n  ".join(
+        f"({c}, {str(i).lower()}, {str(t).lower()})" for c, i, t in rows
+    )
+    return (
+        f"select cast(cell as bigint) as cell, "
+        f"tile_intersects, tile_contains from (values\n  {vals}\n) "
+        f"as t(cell, tile_intersects, tile_contains)"
+    )
+
+
 # q47: multi-section Osmosis .poly region filter (sources/poly.py).
 # Section B is written as FLOAT degrees to exercise the ParseStringInt /
 # Intm scaling path (writevals.go:230-253); the oracle hardcodes the
@@ -2877,13 +2963,13 @@ END
 -2000000 509000000
 END
 outer_b
-1.0 50.0
-1.4 50.0
-1.2 50.4
+0.5 50.0
+0.9 50.0
+0.7 50.4
 END
 END
 """
-_POLY_B_LONS = [10000000, 14000000, 12000000]
+_POLY_B_LONS = [5000000, 9000000, 7000000]
 _POLY_B_LATS = [500000000, 500000000, 504000000]
 _POLY_HOLE_LONS = [-3000000, -1000000, -2000000]
 _POLY_HOLE_LATS = [505000000, 505000000, 509000000]
@@ -3161,6 +3247,7 @@ GATE_QUERIES = {
     "q46_ref_sql_surface": q46_ref_sql_surface,
     "q47_poly_filter": q47_poly_filter,
     "q48_ref_sql_string": q48_ref_sql_string,
+    "q49_poly_tile_tests": q49_poly_tile_tests,
 }
 
 class _LazyOracles(dict):
@@ -3248,6 +3335,7 @@ GATE_ORACLES = _LazyOracles({
     "q46_ref_sql_surface": q46_oracle,  # lazy-ish: builds descent CTEs
     "q47_poly_filter": q47_oracle(),
     "q48_ref_sql_string": q48_oracle,  # lazy-ish: builds descent CTEs
+    "q49_poly_tile_tests": q49_oracle_build,  # lazy: scalar-port pass
 })
 
 

@@ -132,6 +132,84 @@ def region_contains_udf(region: PolyRegion):
     return _contains
 
 
+def with_region_tile_tests(cells: DataFrame, region: PolyRegion,
+                           cell_col: str = "cell",
+                           buffer: float = 0.05) -> DataFrame:
+    """The LocTest TILE surface (filter/poly.go:74-108, 143-158) over a
+    quadtree-cell column: appends
+
+      tile_intersects — qt.Bounds(buffer) bbox intersects the region's
+        outer envelope (IntersectsQuadtree: bbox-only test);
+      tile_contains   — the envelope CONTAINS qt.Bounds(buffer) AND the
+        region contains all four corners (ContainsQuadtree).
+
+    One Arrow stage: bounds from the vectorized descent kernel
+    (qtcore.quadtree.cell_bounds, the same algebra q02's codecs verify),
+    corner membership via the vectorized pnpoly.
+
+    DOCUMENTED DIVERGENCES (FIXTURES.md §3): the reference's
+    Bbox.Contains compares Miny against the OTHER box's Minx
+    (quadtree/bbox.go:80-82 typo — a lat/lon cross-comparison), and the
+    multi-section corner test inherits the always-false Contains bug;
+    both are implemented here with the clearly intended semantics (the
+    single-section path matches the reference exactly).
+
+    Scale: a pure map over the cell column — no shuffle; at 10^12 rows
+    this composes with the cover-prune serving path as a residual
+    per-tile predicate."""
+    from ..qtcore.quadtree import cell_bounds
+    from ..qtcore.bbox import point_in_poly
+
+    eminx, eminy, emaxx, emaxy = region.envelope()
+    polys = [(np.asarray(lons, dtype=np.int64),
+              np.asarray(lats, dtype=np.int64))
+             for lons, lats in region.polys]
+    holes = [(np.asarray(lons, dtype=np.int64),
+              np.asarray(lats, dtype=np.int64))
+             for lons, lats in region.holes]
+
+    def _member(x, y):
+        inside = np.zeros(len(x), dtype=bool)
+        for vx, vy in polys:
+            inside |= point_in_poly(vx, vy, x, y)
+        for vx, vy in holes:
+            inside &= ~point_in_poly(vx, vy, x, y)
+        return inside
+
+    @F.pandas_udf("tile_intersects boolean, tile_contains boolean")
+    def _tests(c: pd.Series) -> pd.DataFrame:
+        cells_np = c.to_numpy(np.int64)
+        minx, miny, maxx, maxy = cell_bounds(cells_np, buffer)
+        inter = ((eminx <= maxx) & (eminy <= maxy)
+                 & (emaxx >= minx) & (emaxy >= miny))
+        cont = ((eminx <= minx) & (eminy <= miny)
+                & (emaxx >= maxx) & (emaxy >= maxy))
+        cont &= _member(minx, miny) & _member(minx, maxy)
+        cont &= _member(maxx, miny) & _member(maxx, maxy)
+        return pd.DataFrame(
+            {"tile_intersects": inter, "tile_contains": cont}
+        )
+
+    return (
+        cells.withColumn("_tt", _tests(F.col(cell_col)))
+        .withColumn("tile_intersects", F.col("_tt.tile_intersects"))
+        .withColumn("tile_contains", F.col("_tt.tile_contains"))
+        .drop("_tt")
+    )
+
+
+def poly_tile_filter(cells: DataFrame, region: PolyRegion,
+                     cell_col: str = "cell", buffer: float = 0.05,
+                     mode: str = "intersects") -> DataFrame:
+    """Keep cells whose tile passes the region test (`intersects` or
+    `contains`) — the tile-level prune a .poly region filter applies
+    before any per-element work."""
+    col = {"intersects": "tile_intersects",
+           "contains": "tile_contains"}[mode]
+    out = with_region_tile_tests(cells, region, cell_col, buffer)
+    return out.filter(F.col(col)).drop("tile_intersects", "tile_contains")
+
+
 def poly_region_filter(points: DataFrame, region: PolyRegion,
                        lon_col: str = "lon", lat_col: str = "lat",
                        prefilter_bbox: bool = True) -> DataFrame:

@@ -18,7 +18,7 @@ def test_parse_multi_section():
     assert lons_a[0] == -6000000 and lats_a[0] == 502000000
     # float-degree section scales via Intm (writevals.go:230-235)
     lons_b, lats_b = r.polys[1]
-    assert lons_b == [10000000, 14000000, 12000000]
+    assert lons_b == [5000000, 9000000, 7000000]
     assert lats_b == [500000000, 500000000, 504000000]
     hl, _ = r.holes[0]
     assert hl == [-3000000, -1000000, -2000000]
@@ -37,15 +37,15 @@ def test_parse_bad_vertex_line():
 
 def test_envelope_ignores_holes():
     r = parse_poly(POLY_FILE_TEXT)
-    assert r.envelope() == (-6000000, 500000000, 14000000, 516000000)
+    assert r.envelope() == (-6000000, 500000000, 9000000, 516000000)
 
 
 def test_filter_outer_minus_hole(spark):
     # (0, 506e6) inside outer_a; (-2e6, 506e6) inside the hole;
-    # (1.2deg, 50.1deg) inside outer_b; (9e7, 0) outside everything
+    # (0.7deg, 50.1deg) inside outer_b; (9e7, 0) outside everything
     pts = spark.createDataFrame(
         [(1, 0, 506000000), (2, -2000000, 506000000),
-         (3, 12000000, 501000000), (4, 90000000, 0)],
+         (3, 7000000, 501000000), (4, 90000000, 0)],
         ["node_id", "lon", "lat"],
     )
     r = parse_poly(POLY_FILE_TEXT)
@@ -73,3 +73,48 @@ def test_single_section_matches_point_in_polygon_join(spark):
     b = {r.node_id for r in point_in_polygon_join(
         pts, POLY_LONS, POLY_LATS).collect()}
     assert a == b and a
+
+
+def test_tile_tests_match_scalar_port(spark):
+    # engine kernel vs the independent scalar port on a cell sample,
+    # single outer section (reference-correct path)
+    from osmquadtree_depreceated_spark.gate import POLY_LATS, POLY_LONS
+    from osmquadtree_depreceated_spark.qtcore import scalar_ref as SR
+    from osmquadtree_depreceated_spark.sources.poly import (
+        with_region_tile_tests,
+    )
+
+    region = PolyRegion(polys=[(list(POLY_LONS), list(POLY_LATS))])
+    ex0, ey0, ex1, ey1 = region.envelope()
+    cells = [(((k * 2654435761) % (1 << 36)) << 27) | 18
+             for k in range(40)]
+    df = spark.createDataFrame([(c,) for c in cells], ["cell"])
+    got = {
+        r.cell: (r.tile_intersects, r.tile_contains)
+        for r in with_region_tile_tests(df, region).collect()
+    }
+
+    def member(x, y):
+        return SR.point_in_poly(POLY_LONS, POLY_LATS, x, y)
+
+    for c in cells:
+        mnx, mny, mxx, mxy = SR.cell_bounds(c, 0.05)
+        inter = ex0 <= mxx and ey0 <= mxy and ex1 >= mnx and ey1 >= mny
+        cont = (ex0 <= mnx and ey0 <= mny and ex1 >= mxx and ey1 >= mxy
+                and member(mnx, mny) and member(mnx, mxy)
+                and member(mxx, mny) and member(mxx, mxy))
+        assert got[c] == (inter, cont), hex(c)
+
+
+def test_poly_tile_filter_modes(spark):
+    from osmquadtree_depreceated_spark.gate import POLY_LATS, POLY_LONS
+    from osmquadtree_depreceated_spark.sources.poly import poly_tile_filter
+
+    region = PolyRegion(polys=[(list(POLY_LONS), list(POLY_LATS))])
+    cells = [(((k * 2654435761) % (1 << 36)) << 27) | 18
+             for k in range(40)]
+    df = spark.createDataFrame([(c,) for c in cells], ["cell"])
+    inter = {r.cell for r in poly_tile_filter(df, region).collect()}
+    cont = {r.cell for r in poly_tile_filter(
+        df, region, mode="contains").collect()}
+    assert cont <= inter  # contains implies intersects
