@@ -2749,38 +2749,41 @@ from (values\n  {vals}\n) as r(osm_id, z_order, quadtree, is_n1, nm_num,
 
 
 # q48: the verbatim reference-dialect SQL string, executed through the
-# rewrite shim (plans/refsql.py).  Exercises every lexer/parser quirk in
-# a value-affecting way: ::type strip, prefix-only LIKE (the '%motorway'
-# disjunct must contribute NOTHING — native LIKE would admit null-name
-# motorway rows), UNION-means-UNION-ALL (branch 3 duplicates the n1
-# lines; a deduping UNION would halve them), substr edge rules,
-# parse-or-0 casts, numchar, maxwidth, strreplace-as-documented.
-_Q48_REF_SQL = """select osm_id, z_order, quadtree,
-       makeinteger(substr(name, 2, 3)) as nm_num,
+# rewrite shim (plans/refsql.py).  Every quirk is exercised in a
+# VALUE-AFFECTING way:
+#   * ::type strip (7::integer);
+#   * no-wildcard LIKE — '%motorway' contributes nothing (native LIKE
+#     would admit null-name motorway rows), branch 4's 'n_%' is a
+#     LITERAL 'n_' prefix matching nothing (native '_' wildcard would
+#     admit every named line);
+#   * NOT LIKE '%1' is NOT(constant false) = keep (native would drop
+#     exactly the n1 rows branch 3 exists to duplicate);
+#   * UNION means UNION ALL (dedup would halve branch 3);
+#   * substr rules — (2,1) is in-range, (2,3) overflows 2-char names to
+#     NULL (naive substring would return '1'), from=0 acts as (1,
+#     count-1); makeinteger(NULL) is 0; numchar/maxwidth/strreplace.
+_Q48_COLS = """osm_id, z_order, quadtree,
+       makeinteger(substr(name, 2, 1)) as nm_num,
+       substr(name, 2, 3) as nm3,
        makefloat(highway) as hw_f,
        numchar(strreplace(name, 'n', 'nn'), 'n') as n_n,
        maxwidth(name) as mw,
-       substr(name, 0, 2) as nm0
+       substr(name, 0, 2) as nm0"""
+_Q48_REF_SQL = f"""select {_Q48_COLS}
 from planet_osm_line
 where name like 'n%' and 7::integer = 7
 union
-select osm_id, z_order, quadtree,
-       makeinteger(substr(name, 2, 3)) as nm_num,
-       makefloat(highway) as hw_f,
-       numchar(strreplace(name, 'n', 'nn'), 'n') as n_n,
-       maxwidth(name) as mw,
-       substr(name, 0, 2) as nm0
+select {_Q48_COLS}
 from planet_osm_polygon
 where name like 'n%' or highway like '%motorway'
 union
-select osm_id, z_order, quadtree,
-       makeinteger(substr(name, 2, 3)) as nm_num,
-       makefloat(highway) as hw_f,
-       numchar(strreplace(name, 'n', 'nn'), 'n') as n_n,
-       maxwidth(name) as mw,
-       substr(name, 0, 2) as nm0
+select {_Q48_COLS}
 from planet_osm_line
-where name like 'n1%'"""
+where name like 'n1%' and name not like '%1'
+union
+select {_Q48_COLS}
+from planet_osm_line
+where name like 'n_%'"""
 
 
 def q48_ref_sql_string(spark, sf_dir) -> DataFrame:
@@ -2845,15 +2848,18 @@ outrow as (
   select way_id, nm, closed, has_bl,
          way_id as osm_id, zord as z_order, cell as quadtree,
          cast(way_id % 9 as bigint) as nm_num,
+         cast(null as varchar) as nm3,
          cast(0.0 as double) as hw_f,
          cast(2 as bigint) as n_n,
          cast(2 as int) as mw,
          'n' as nm0
   from feat
 )
-select osm_id, z_order, quadtree, nm_num, hw_f, n_n, mw, nm0 from outrow
+select osm_id, z_order, quadtree, nm_num, nm3, hw_f, n_n, mw, nm0
+from outrow
 union all
-select osm_id, z_order, quadtree, nm_num, hw_f, n_n, mw, nm0 from outrow
+select osm_id, z_order, quadtree, nm_num, nm3, hw_f, n_n, mw, nm0
+from outrow
 where nm = 'n1' and not (closed and has_bl)"""
     )
 

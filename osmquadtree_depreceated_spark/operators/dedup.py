@@ -333,6 +333,7 @@ def duplicate_clusters(pairs: DataFrame, a_col: str = "doc_a",
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    changed = -1  # "never converged" sentinel for the max_iters<=0 case
     for _ in range(max_iters):
         msgs = edges.join(
             labels, edges["src"] == labels["id"]

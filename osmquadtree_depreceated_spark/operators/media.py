@@ -13,6 +13,7 @@ either way; a real deployment swaps `_decode_stub` for the codec.
 
 from __future__ import annotations
 
+import hashlib
 import struct
 import zlib
 
@@ -194,12 +195,16 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             }
             widths, heights = np.zeros(n, np.int32), np.zeros(n, np.int32)
             feats = np.zeros((n, N_FEATURES), np.int64)
-            shas = pdf["sha_hex"] if has_sha else [""] * n
-            for i, (sha, blob) in enumerate(zip(shas, pdf["blob"])):
+            shas = pdf["sha_hex"] if has_sha else None
+            for i, blob in enumerate(pdf["blob"]):
                 if bytes(blob[:8]) == PNG_MAGIC:
                     w, h, px = decode_png(bytes(blob))
                     f = png_pixel_features(px)
                 else:
+                    # stub metadata comes from a content hash; without a
+                    # precomputed sha_hex column, hash the blob itself
+                    sha = (shas.iloc[i] if shas is not None
+                           else hashlib.sha256(bytes(blob)).hexdigest())
                     w, h, f = _decode_stub(sha, blob)
                 widths[i], heights[i] = w, h
                 feats[i] = f

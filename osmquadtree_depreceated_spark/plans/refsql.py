@@ -7,8 +7,11 @@ standard SQL that Spark SQL will not reproduce by itself:
   * numeric literals may carry a PostgreSQL-style ``::type`` suffix that
     the LEXER simply strips (osmselect.go:109-143 makeNumVal/makeFloatVal
     cut the value at ``::``);
-  * ``LIKE`` matches PREFIX patterns only — any other pattern shape
-    evaluates to constant false (functions.go:309-314);
+  * ``LIKE`` has NO wildcards: a pattern ending in ``%`` is a
+    literal-prefix match on everything before that final ``%`` (``_``
+    and embedded ``%`` are ordinary characters), any other pattern is
+    constant false, and NULL input compares false
+    (functions.go:309-314); ``NOT LIKE`` negates that result;
   * the quirk scalar functions substr / makeinteger / makefloat /
     numchar / maxwidth / strreplace (functions.go:95-165,309-414).
 
@@ -128,30 +131,24 @@ def _sr(args):
     return f"replace(({s}), ({a}), ({b}))"
 
 
-def _sub2(s, f):
-    adj = f"(case when ({f}) = 0 then 1 else ({f}) end)"
-    return (
-        f"(case when length(({s})) >= greatest({adj}, 1) "
-        f"then substring(({s}), {adj}, length(({s}))) else null end)"
-    )
-
-
 def _sub3(s, f, c):
+    """substrFunc (functions.go:137-165) exactly: from=0 -> from 1 with
+    count-1; NULL unless 1 <= from' <= len AND count' >= 1 AND
+    from' + count' - 1 <= len."""
     adj_f = f"(case when ({f}) = 0 then 1 else ({f}) end)"
     adj_c = f"(case when ({f}) = 0 then ({c}) - 1 else ({c}) end)"
     return (
-        f"(case when length(({s})) >= greatest({adj_f}, 1) "
-        f"and {adj_c} >= 0 "
+        f"(case when {adj_f} >= 1 and {adj_f} <= length(({s})) "
+        f"and {adj_c} >= 1 and {adj_f} + {adj_c} - 1 <= length(({s})) "
         f"then substring(({s}), {adj_f}, {adj_c}) else null end)"
     )
 
 
 def _substr(args):
-    if len(args) == 2:
-        return _sub2(*args)
     if len(args) == 3:
         return _sub3(*args)
-    raise ValueError("substr takes 2 or 3 arguments")
+    # the reference returns NULL for any other arity (functions.go:138-141)
+    return "cast(null as string)"
 
 
 _MACROS = (
@@ -209,9 +206,11 @@ def _operand_span(sql: str, end: int) -> int:
 
 
 def _rewrite_like(masked: str, strings: list[str]) -> str:
-    """Prefix-shaped patterns keep native LIKE (identical semantics);
-    anything else becomes constant false with the operand still
-    referenced (null-safe, schema-checked)."""
+    """likeOp (functions.go:309-314) exactly: a pattern ending in '%' is
+    a LITERAL-prefix match on pattern[:-1] ('%'/'_' are never wildcards),
+    anything else is constant false; NULL input compares false.  NOT LIKE
+    (sql.y:286-288) negates that result — including the constant-false
+    case (ref: NOT false = true for every row, null operand included)."""
     out, pos = masked, 0
     while True:
         m = _LIKE_RE.search(out, pos)
@@ -219,22 +218,33 @@ def _rewrite_like(masked: str, strings: list[str]) -> str:
             return out
         lit = strings[int(m.group(1).strip("\x00"))]
         pat = lit[1:-1].replace("''", "'")
-        prefix_only = (
-            pat.endswith("%") and "%" not in pat[:-1] and "_" not in pat
+        # optional NOT between the operand and LIKE
+        before = out[:m.start()].rstrip()
+        negated = (
+            before[-3:].lower() == "not"
+            and (len(before) == 3 or not _IDENT_CH.match(before[-4]))
         )
-        if prefix_only:
-            pos = m.end()
-            continue
-        lo = _operand_span(out, m.start())
-        operand = out[lo:m.start()].strip()
-        repl = f"(false and ({operand}) is not null)"
+        op_end = len(before) - 3 if negated else m.start()
+        lo = _operand_span(out, op_end)
+        operand = out[lo:op_end].strip()
+        if pat.endswith("%"):
+            pfx = pat[:-1].replace("'", "''")
+            base = f"coalesce(startswith(({operand}), '{pfx}'), false)"
+        else:
+            base = f"(false and ({operand}) is not null)"
+        repl = f"(not {base})" if negated else base
         out = out[:lo] + repl + out[m.end():]
         pos = lo + len(repl)
 
 
 # ------------------------------------------------------------ driver
 
-_PGCAST_RE = re.compile(r"(?<=[\d.])::\s*[A-Za-z_]+")
+# number-token ::casts only (osmselect.go makeNumVal strips on NUMBER
+# tokens; 'ident2::type' must NOT lose its suffix — the lookbehind
+# rejects a match whose number is glued to an identifier)
+_PGCAST_RE = re.compile(
+    r"(?<![A-Za-z_.\d])(\d+(?:\.\d+)?)\s*::\s*[A-Za-z_]+"
+)
 # reference UNION has NO distinct variant and never dedups: sql.y:112-119
 # routes UNION straight to the concatenating table (tables.go:53-74)
 _UNION_RE = re.compile(r"\bunion\b(?!\s+all\b)", re.IGNORECASE)
@@ -244,7 +254,7 @@ def rewrite_ref_sql(sql: str) -> str:
     """Reference-dialect SQL text -> plain Spark SQL (pure string
     transform, unit-testable without a session)."""
     masked, strings = _mask_strings(sql)
-    masked = _PGCAST_RE.sub("", masked)          # 5::integer -> 5
+    masked = _PGCAST_RE.sub(r"\1", masked)       # 5::integer -> 5
     masked = _UNION_RE.sub("union all", masked)  # UNION means UNION ALL
     masked = _rewrite_like(masked, strings)
     for name, render in _MACROS:

@@ -25,28 +25,34 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def ref_like(col, pattern: str) -> Column:
-    """Prefix-only LIKE: 'abc%' matches prefixes; any other pattern shape is
-    constant false (functions.go:309-314)."""
+    """Reference likeOp (functions.go:309-314), EXACTLY: a pattern ending
+    in '%' is a LITERAL-prefix match on pattern[:-1] ('%' and '_' have no
+    wildcard meaning anywhere — 'a_b%' matches names starting with the
+    three literal chars 'a_b'); any pattern not ending in '%' is constant
+    false.  NULL input compares false (the reference's typed compare
+    falls through), hence the coalesce."""
     c = F.col(col) if isinstance(col, str) else col
-    if pattern.endswith("%") and "%" not in pattern[:-1] and "_" not in pattern:
-        return c.startswith(pattern[:-1])
+    if pattern.endswith("%"):
+        return F.coalesce(c.startswith(pattern[:-1]), F.lit(False))
     return F.lit(False)
 
 
 def ref_substr(col, frm: int, count: int | None = None) -> Column:
-    """Reference substr quirks (functions.go:137-165): 1-based; from=0 acts
-    as from=1 with count-1; out-of-range -> NULL."""
+    """Reference substrFunc (functions.go:137-165), EXACTLY: THREE-arg
+    only (any other arity returns NULL); from=0 acts as from=1 with
+    count-1; NULL unless 1 <= from' <= len(s), count' >= 1 and
+    from' + count' - 1 <= len(s)."""
+    if count is None:
+        return F.lit(None).cast("string")
     c = F.col(col) if isinstance(col, str) else col
     if frm == 0:
-        frm, count = 1, (count - 1 if count is not None else None)
-    base = (
-        F.substring(c, frm, count) if count is not None
-        else c.substr(F.lit(frm), F.length(c))
+        frm, count = 1, count - 1
+    ln = F.length(c)
+    in_range = (
+        (F.lit(frm) >= 1) & (F.lit(frm) <= ln)
+        & (F.lit(count) >= 1) & (F.lit(frm + count - 1) <= ln)
     )
-    in_range = (F.length(c) >= F.lit(max(frm, 1)))
-    if count is not None:
-        in_range = in_range & (F.lit(count) >= 0)
-    return F.when(in_range, base).otherwise(F.lit(None))
+    return F.when(in_range, F.substring(c, frm, count)).otherwise(F.lit(None))
 
 
 def make_integer(col: str) -> Column:

@@ -24,6 +24,7 @@ Python executes — same prune-then-residual shape as point_in_polygon_join.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -32,15 +33,24 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import BooleanType
 
 
+_INT_TOKEN = re.compile(r"^[+-]?[0-9]+$")
+_FLOAT_TOKEN = re.compile(
+    r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$"
+)
+
+
 def _parse_coord(tok: str) -> int:
     """ParseStringInt semantics (writevals.go:240-253): int -> as-is
-    (already 1e-7 fixed point); float -> degrees, Intm half-up scaling."""
-    try:
+    (already 1e-7 fixed point); float -> degrees, Intm half-up scaling.
+    Token shape is validated like Go's strconv (no '_' separators, no
+    inf/nan) so files the reference rejects raise here too."""
+    if _INT_TOKEN.match(tok):
         return int(tok)
-    except ValueError:
+    if _FLOAT_TOKEN.match(tok):
         f = float(tok)
         scaled = f * 10000000
         return int(scaled + 0.5) if f > 0 else int(scaled - 0.5)
+    raise ValueError(f"{tok}  not a coordinate number")
 
 
 @dataclass
@@ -54,7 +64,11 @@ class PolyRegion:
 
     def envelope(self) -> tuple[int, int, int, int]:
         """(minx, miny, maxx, maxy) over the OUTER sections only — matches
-        locTestPolygonMulti.Bbox (poly.go:116-126), which ignores holes."""
+        locTestPolygonMulti.Bbox (poly.go:116-126), which ignores holes.
+        No outer sections -> the reference's INVERTED seed box (every
+        intersect/contain test false, nothing crashes)."""
+        if not self.polys:
+            return 1800000000, 900000000, -1800000000, -900000000
         minx = min(min(lons) for lons, _ in self.polys)
         maxx = max(max(lons) for lons, _ in self.polys)
         miny = min(min(lats) for _, lats in self.polys)

@@ -13,8 +13,9 @@ def test_pgcast_strip_numeric_only():
     assert rewrite_ref_sql("select 5::integer, 2.5::float from t") == \
         "select 5, 2.5 from t"
     # non-numeric :: untouched (the reference lexer only strips on
-    # number tokens)
+    # number tokens) — including identifiers that END in a digit
     assert "name::text" in rewrite_ref_sql("select name::text from t")
+    assert "col2::int" in rewrite_ref_sql("select col2::int from t")
 
 
 def test_union_means_union_all():
@@ -28,16 +29,29 @@ def test_union_means_union_all():
     assert got3 == "select 'union' as u from t"
 
 
-def test_like_prefix_kept_other_shapes_false():
-    keep = rewrite_ref_sql("select * from t where name like 'ab%'")
-    assert "like 'ab%'" in keep
+def test_like_is_literal_prefix_or_false():
+    # trailing % -> literal-prefix startswith (null-safe false)
+    got = rewrite_ref_sql("select * from t where name like 'ab%'")
+    assert "startswith((name), 'ab')" in got and "like" not in got
+    # '_' and embedded '%' are LITERAL characters (likeOp has no
+    # wildcards): 'a_b%' is a prefix match on the 3 chars a,_,b
+    got2 = rewrite_ref_sql("select * from t where name like 'a_b%'")
+    assert "startswith((name), 'a_b')" in got2
+    got3 = rewrite_ref_sql("select * from t where name like 'a%b%'")
+    assert "startswith((name), 'a%b')" in got3
+    # no trailing % -> constant false, operand still referenced
     dead = rewrite_ref_sql("select * from t where name like '%ab'")
     assert "(false and (name) is not null)" in dead
     dead2 = rewrite_ref_sql("select * from t where f(x, 1) like 'a_b'")
     assert "(false and (f(x, 1)) is not null)" in dead2
-    # underscore makes even a trailing-% pattern non-prefix
-    dead3 = rewrite_ref_sql("select * from t where name like 'a_b%'")
-    assert "false" in dead3
+
+
+def test_not_like():
+    got = rewrite_ref_sql("select * from t where name not like 'ab%'")
+    assert "(not coalesce(startswith((name), 'ab'), false))" in got
+    # NOT of the constant-false shape = keep every row
+    got2 = rewrite_ref_sql("select * from t where name not like '%ab'")
+    assert "(not (false and (name) is not null))" in got2
 
 
 def test_macro_expansion_nested():
@@ -45,6 +59,15 @@ def test_macro_expansion_nested():
     assert "try_cast" in got and "substring((name)" in got
     assert "makeinteger" not in got and "substr(" not in got.replace(
         "substring(", "")
+
+
+def test_substr_reference_rules():
+    # 3-arg expands with the overflow->NULL guard
+    got = rewrite_ref_sql("select substr(name, 2, 3) from t")
+    assert "+ " in got and "length((name))" in got and "null" in got
+    # any other arity is constant NULL (functions.go:138-141)
+    got2 = rewrite_ref_sql("select substr(name, 2) from t")
+    assert "cast(null as string)" in got2
 
 
 def test_strreplace_is_documented_replace():
@@ -64,23 +87,41 @@ def test_ref_sql_executes_quirks(spark):
     )
     df.createOrReplaceTempView("planet_osm_line")
     out = ref_sql(spark, """
-select osm_id, makeinteger(substr(name, 2, 3)) as nm_num,
+select osm_id, makeinteger(substr(name, 2, 1)) as nm_num,
+       substr(name, 2, 9) as over9,
        makefloat(highway) as hw_f,
        numchar(name, 'n') as n_n,
        substr(name, 0, 2) as c0
 from planet_osm_line
 where name like 'n%' and 7::integer = 7
 union
-select osm_id, makeinteger(substr(name, 2, 3)) as nm_num,
+select osm_id, makeinteger(substr(name, 2, 1)) as nm_num,
+       substr(name, 2, 9) as over9,
        makefloat(highway) as hw_f,
        numchar(name, 'n') as n_n,
        substr(name, 0, 2) as c0
 from planet_osm_line
 where name like '%way'
 """).collect()
-    rows = sorted((r.osm_id, r.nm_num, r.hw_f, r.n_n, r.c0) for r in out)
-    # branch 2 is constant-false (non-prefix LIKE); branch 1 keeps n1/n24
-    assert rows == [(1, 1, 0.0, 1, "n"), (3, 24, 0.0, 1, "n")]
+    rows = sorted(
+        (r.osm_id, r.nm_num, r.over9, r.hw_f, r.n_n, r.c0) for r in out
+    )
+    # branch 2 is constant-false (non-prefix LIKE); (2,9) overflows both
+    # names -> NULL per substrFunc's fri+toi-1 > len rule
+    assert rows == [(1, 1, None, 0.0, 1, "n"), (3, 2, None, 0.0, 1, "n")]
+
+
+def test_ref_sql_not_like_null_operand(spark):
+    # reference: NOT(likeOp)=true even for a NULL operand — the row with
+    # name NULL must be KEPT by `not like`
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, None), (3, "xy")], ["i", "name"]
+    )
+    df.createOrReplaceTempView("t_nl")
+    got = {r.i for r in ref_sql(
+        spark, "select i from t_nl where name not like 'ab%'"
+    ).collect()}
+    assert got == {2, 3}
 
 
 def test_ref_sql_union_all_duplicates(spark):

@@ -18,12 +18,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _probe(cpus, amplify, sf_dir):
+def _probe(cpus, amplify, sf_dir, pair_low):
     out = subprocess.run(
         [sys.executable, os.path.join("tools", "scale_stages.py"),
          str(cpus), str(amplify), sf_dir],
         capture_output=True, text=True, check=True,
-        env={**os.environ, "BENCH_SCALING_PROBE": "1"},
+        # BENCH_SCALE_LOW anchors bench.SCALE_HIGH (the partition-parity
+        # config) to THIS diag's pair, for both the low and high probe
+        env={**os.environ, "BENCH_SCALING_PROBE": "1",
+             "BENCH_SCALE_LOW": str(pair_low)},
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
@@ -38,9 +41,9 @@ def main():
     import bench
 
     c_before = bench._hw_ceiling(low, high)
-    lo = _probe(low, amplify, sf_dir)
+    lo = _probe(low, amplify, sf_dir, low)
     c_mid = bench._hw_ceiling(low, high)
-    hi = _probe(high, amplify, sf_dir)
+    hi = _probe(high, amplify, sf_dir, low)
     c_after = bench._hw_ceiling(low, high)
 
     rows = []
