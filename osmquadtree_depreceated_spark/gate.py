@@ -2950,6 +2950,53 @@ def q49_oracle_build() -> str | None:
     )
 
 
+def q50_snapshot_pipeline(spark, sf_dir) -> DataFrame:
+    """The RESUMABLE snapshot pipeline end-to-end (plans/lineage.py):
+    calcqts stages committed through the SnapshotStore (parquet +
+    per-partition lineage rows), results read back FROM THE SNAPSHOTS —
+    one golden_cells-shaped table (etype, id, cell) over ways, nodes and
+    relations.  Within one session a second invocation RESUMES from the
+    committed stages and must produce identical rows.  Oracle: the q03 /
+    q04 / q05 DuckDB descent SQLs, union-tagged — so the store round-trip
+    (write, manifest commit, read-back) is value-verified against the
+    same independent cell algebra as the direct operators."""
+    _prep(spark, sf_dir)
+    import hashlib as _hl
+
+    from .plans.lineage import SnapshotStore, calcqts_pipeline
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    store = SnapshotStore(_gate_work_dir(spark, f"snapshots_{tag}"))
+    members = spark.table("rels").select(
+        "rel_id", F.lit("w").alias("mtype"),
+        F.col("member_way").alias("ref"),
+    )
+    out = calcqts_pipeline(
+        spark, store, spark.table("nodes"), spark.table("way_refs"),
+        rel_members=members,
+    )
+    return (
+        out["way_cells"].select(
+            F.lit("w").alias("etype"), F.col("way_id").alias("id"), "cell")
+        .unionByName(out["node_cells"].select(
+            F.lit("n").alias("etype"), F.col("node_id").alias("id"),
+            "cell"))
+        .unionByName(out["rel_cells"].select(
+            F.lit("r").alias("etype"), F.col("rel_id").alias("id"),
+            "cell"))
+    )
+
+
+def q50_oracle() -> str:
+    return (
+        f"select 'w' as etype, way_id as id, cell from ({q03_oracle()}) "
+        f"union all "
+        f"select 'n' as etype, node_id as id, cell from ({q04_oracle()}) "
+        f"union all "
+        f"select 'r' as etype, rel_id as id, cell from ({q05_oracle()})"
+    )
+
+
 # q47: multi-section Osmosis .poly region filter (sources/poly.py).
 # Section B is written as FLOAT degrees to exercise the ParseStringInt /
 # Intm scaling path (writevals.go:230-253); the oracle hardcodes the
@@ -3254,6 +3301,7 @@ GATE_QUERIES = {
     "q47_poly_filter": q47_poly_filter,
     "q48_ref_sql_string": q48_ref_sql_string,
     "q49_poly_tile_tests": q49_poly_tile_tests,
+    "q50_snapshot_pipeline": q50_snapshot_pipeline,
 }
 
 class _LazyOracles(dict):
@@ -3342,6 +3390,7 @@ GATE_ORACLES = _LazyOracles({
     "q47_poly_filter": q47_oracle(),
     "q48_ref_sql_string": q48_oracle,  # lazy-ish: builds descent CTEs
     "q49_poly_tile_tests": q49_oracle_build,  # lazy: scalar-port pass
+    "q50_snapshot_pipeline": q50_oracle,  # lazy-ish: composes q03-q05
 })
 
 

@@ -32,9 +32,14 @@ def main():
     names = sys.argv[1:] or sorted(gate.GATE_QUERIES)
     from pyspark.sql import SparkSession
 
+    cpus = os.environ.get("SPARK_GRAFT_CHECK_CPUS", "8")
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "16")
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(int(cpus) * 2))
+        # sf0.1 stress sessions at DEFAULT driver memory: the 10MB
+        # auto-broadcast threshold broadcasts fact tables at sandbox
+        # sizes and OOMs a 1g driver over a long multi-query session
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
