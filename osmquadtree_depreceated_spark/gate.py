@@ -2997,6 +2997,49 @@ def q50_oracle() -> str:
     )
 
 
+def q51_streaming_rollup(spark, sf_dir) -> DataFrame:
+    """The tumbling-window rollup executed as a REAL Structured Streaming
+    query — file stream source (availableNow trigger) -> watermarked
+    event-time windows (streaming/changes.py stream_windowed_rollup) ->
+    memory sink in complete mode — and compared against the SAME DuckDB
+    oracle as the batch q28: the streaming execution path itself
+    (micro-batch planner, state store, window finalization) must
+    reproduce the batch aggregate exactly."""
+    _prep(spark, sf_dir)
+    import os
+    import shutil
+    import uuid
+
+    from .streaming.changes import stream_windowed_rollup
+
+    src = os.path.join(sf_dir, "events.parquet")
+    work = _gate_work_dir(spark, "stream_events")
+    os.makedirs(work, exist_ok=True)
+    dst = os.path.join(work, "events.parquet")
+    if not os.path.exists(dst):
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy(src, dst)
+    schema = spark.read.parquet(src).schema
+    # watermarks require TIMESTAMP (the parquet ts is TIMESTAMP_NTZ);
+    # the driver session runs UTC so the cast is value-preserving
+    stream = spark.readStream.schema(schema).parquet(work).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    rolled = stream_windowed_rollup(stream)
+    qname = f"q51_rollup_{uuid.uuid4().hex[:8]}"
+    q = (
+        rolled.writeStream.outputMode("complete").format("memory")
+        .queryName(qname).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).select(
+        F.unix_timestamp("win_start").alias("win_start"),
+        "event_type", "n", "min_id", "max_id",
+    )
+
+
 # q47: multi-section Osmosis .poly region filter (sources/poly.py).
 # Section B is written as FLOAT degrees to exercise the ParseStringInt /
 # Intm scaling path (writevals.go:230-253); the oracle hardcodes the
@@ -3302,6 +3345,7 @@ GATE_QUERIES = {
     "q48_ref_sql_string": q48_ref_sql_string,
     "q49_poly_tile_tests": q49_poly_tile_tests,
     "q50_snapshot_pipeline": q50_snapshot_pipeline,
+    "q51_streaming_rollup": q51_streaming_rollup,
 }
 
 class _LazyOracles(dict):
@@ -3391,6 +3435,7 @@ GATE_ORACLES = _LazyOracles({
     "q48_ref_sql_string": q48_oracle,  # lazy-ish: builds descent CTEs
     "q49_poly_tile_tests": q49_oracle_build,  # lazy: scalar-port pass
     "q50_snapshot_pipeline": q50_oracle,  # lazy-ish: composes q03-q05
+    "q51_streaming_rollup": q28_oracle(),  # streaming must equal batch
 })
 
 
