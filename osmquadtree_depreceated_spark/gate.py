@@ -1745,13 +1745,22 @@ def q29_complete_ways(spark, sf_dir) -> DataFrame:
 
 
 def q29_oracle() -> str:
+    return _complete_ways_oracle(
+        "lon >= -1000000 and lon <= 1000000 "
+        "and lat >= 509000000 and lat <= 511000000"
+    )
+
+
+def _complete_ways_oracle(region_pred: str) -> str:
+    """The FindObjsFilter+FilterObjs closure as SQL, parameterized on the
+    region predicate over (lon, lat) — shared by q29 (bbox region) and
+    q52 (.poly region)."""
     return (
         tpch.synth_cte_prefix("nodes", "way_refs", "rels")
-        + """,
+        + f""",
 region_nodes as (
   select distinct node_id from nodes
-  where lon >= -1000000 and lon <= 1000000
-    and lat >= 509000000 and lat <= 511000000
+  where {region_pred}
 ),
 kept_ways as (
   select distinct way_id from way_refs w
@@ -3040,6 +3049,70 @@ def q51_streaming_rollup(spark, sf_dir) -> DataFrame:
     )
 
 
+def q52_complete_ways_poly(spark, sf_dir) -> DataFrame:
+    """The reference's actual region-extract flow: complete-ways closure
+    (FindObjsFilter + FilterObjs) driven by a `.poly` REGION FILE instead
+    of a bbox — region membership is the multi-section pnpoly predicate
+    (sources/poly.py), everything downstream is q29's id-closure.
+    Oracle: the shared closure SQL with the region predicate swapped for
+    the hardcoded-coordinate pnpoly composite q47 uses."""
+    _prep(spark, sf_dir)
+    import os
+    import tempfile
+
+    from .operators.filters import filter_objs, find_objs_filter
+    from .sources.poly import read_poly_file, region_contains_udf
+
+    fd, path = tempfile.mkstemp(suffix=".poly")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(POLY_FILE_TEXT)
+        region = read_poly_file(path)
+    finally:
+        os.unlink(path)
+
+    nodes = spark.table("nodes")
+    way_refs = spark.table("way_refs")
+    rel_members = spark.table("rels").select(
+        "rel_id", F.lit("w").alias("mtype"),
+        F.col("member_way").alias("ref"),
+    )
+    # native envelope conjunction first: Catalyst pushes it to the scan,
+    # so the Arrow pnpoly only sees envelope survivors (the same
+    # prune-then-residual shape as poly_region_filter)
+    ex0, ey0, ex1, ey1 = region.envelope()
+    pred = (
+        (F.col("lon") >= ex0) & (F.col("lon") <= ex1)
+        & (F.col("lat") >= ey0) & (F.col("lat") <= ey1)
+        & region_contains_udf(region)(F.col("lon"), F.col("lat"))
+    )
+    ids = find_objs_filter(nodes, way_refs, rel_members, pred)
+    out = filter_objs(nodes, way_refs, rel_members, ids)
+    return (
+        out["nodes"].select(F.lit("n").alias("etype"),
+                            F.col("node_id").alias("id")).distinct()
+        .unionByName(
+            out["way_refs"].select(F.lit("w").alias("etype"),
+                                   F.col("way_id").alias("id")).distinct()
+        )
+        .unionByName(
+            out["rel_members"].select(F.lit("r").alias("etype"),
+                                      F.col("rel_id").alias("id"))
+            .distinct()
+        )
+    )
+
+
+def q52_oracle() -> str:
+    in_a = sqlgen.pnpoly_sql(POLY_LONS, POLY_LATS, "lon", "lat")
+    in_b = sqlgen.pnpoly_sql(_POLY_B_LONS, _POLY_B_LATS, "lon", "lat")
+    in_hole = sqlgen.pnpoly_sql(_POLY_HOLE_LONS, _POLY_HOLE_LATS,
+                                "lon", "lat")
+    return _complete_ways_oracle(
+        f"(({in_a}) or ({in_b})) and not ({in_hole})"
+    )
+
+
 # q47: multi-section Osmosis .poly region filter (sources/poly.py).
 # Section B is written as FLOAT degrees to exercise the ParseStringInt /
 # Intm scaling path (writevals.go:230-253); the oracle hardcodes the
@@ -3346,6 +3419,7 @@ GATE_QUERIES = {
     "q49_poly_tile_tests": q49_poly_tile_tests,
     "q50_snapshot_pipeline": q50_snapshot_pipeline,
     "q51_streaming_rollup": q51_streaming_rollup,
+    "q52_complete_ways_poly": q52_complete_ways_poly,
 }
 
 class _LazyOracles(dict):
@@ -3436,6 +3510,7 @@ GATE_ORACLES = _LazyOracles({
     "q49_poly_tile_tests": q49_oracle_build,  # lazy: scalar-port pass
     "q50_snapshot_pipeline": q50_oracle,  # lazy-ish: composes q03-q05
     "q51_streaming_rollup": q28_oracle(),  # streaming must equal batch
+    "q52_complete_ways_poly": q52_oracle,  # lazy-ish: pnpoly composite
 })
 
 
