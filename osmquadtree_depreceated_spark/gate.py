@@ -1712,11 +1712,11 @@ select cast(epoch(time_bucket(interval '1 hour', ts)) as bigint)
 from events group by 1, 2"""
 
 
-def q29_complete_ways(spark, sf_dir) -> DataFrame:
-    """Complete-ways spatial extract (FindObjsFilter + FilterObjs,
-    filter/filter.go:288-408): region nodes -> touching ways -> all their
-    nodes -> relations (5 rounds), members trimmed."""
-    _prep(spark, sf_dir)
+def _complete_ways(spark, region_pred) -> DataFrame:
+    """FindObjsFilter + FilterObjs closure over the synth tables with a
+    boolean region Column, returning the (etype, id) id-set — shared by
+    q29 (bbox region) and q52 (.poly region), mirroring the shared
+    parameterized oracle (_complete_ways_oracle)."""
     from .operators.filters import filter_objs, find_objs_filter
 
     nodes = spark.table("nodes")
@@ -1724,11 +1724,7 @@ def q29_complete_ways(spark, sf_dir) -> DataFrame:
     rel_members = spark.table("rels").select(
         "rel_id", F.lit("w").alias("mtype"), F.col("member_way").alias("ref")
     )
-    region = (
-        (F.col("lon") >= -1000000) & (F.col("lon") <= 1000000)
-        & (F.col("lat") >= 509000000) & (F.col("lat") <= 511000000)
-    )
-    ids = find_objs_filter(nodes, way_refs, rel_members, region)
+    ids = find_objs_filter(nodes, way_refs, rel_members, region_pred)
     out = filter_objs(nodes, way_refs, rel_members, ids)
     return (
         out["nodes"].select(F.lit("n").alias("etype"),
@@ -1742,6 +1738,18 @@ def q29_complete_ways(spark, sf_dir) -> DataFrame:
                                       F.col("rel_id").alias("id")).distinct()
         )
     )
+
+
+def q29_complete_ways(spark, sf_dir) -> DataFrame:
+    """Complete-ways spatial extract (FindObjsFilter + FilterObjs,
+    filter/filter.go:288-408): region nodes -> touching ways -> all their
+    nodes -> relations (5 rounds), members trimmed."""
+    _prep(spark, sf_dir)
+    region = (
+        (F.col("lon") >= -1000000) & (F.col("lon") <= 1000000)
+        & (F.col("lat") >= 509000000) & (F.col("lat") <= 511000000)
+    )
+    return _complete_ways(spark, region)
 
 
 def q29_oracle() -> str:
@@ -3022,14 +3030,21 @@ def q51_streaming_rollup(spark, sf_dir) -> DataFrame:
     from .streaming.changes import stream_windowed_rollup
 
     src = os.path.join(sf_dir, "events.parquet")
-    work = _gate_work_dir(spark, "stream_events")
+    # keyed on sf_dir (as q50's store is) so two scales in one session
+    # never reuse each other's staged stream input
+    tag = uuid.uuid5(uuid.NAMESPACE_URL, sf_dir).hex[:8]
+    work = _gate_work_dir(spark, f"stream_events_{tag}")
     os.makedirs(work, exist_ok=True)
-    dst = os.path.join(work, "events.parquet")
-    if not os.path.exists(dst):
+    if not os.listdir(work):
         if os.path.isdir(src):
-            shutil.copytree(src, dst)
+            # flatten the part files into the stream dir — the file
+            # stream source does not recurse into nested directories
+            for fn in os.listdir(src):
+                if fn.endswith(".parquet"):
+                    shutil.copy(os.path.join(src, fn),
+                                os.path.join(work, fn))
         else:
-            shutil.copy(src, dst)
+            shutil.copy(src, os.path.join(work, "events.parquet"))
     schema = spark.read.parquet(src).schema
     # watermarks require TIMESTAMP (the parquet ts is TIMESTAMP_NTZ);
     # the driver session runs UTC so the cast is value-preserving
@@ -3042,7 +3057,12 @@ def q51_streaming_rollup(spark, sf_dir) -> DataFrame:
         rolled.writeStream.outputMode("complete").format("memory")
         .queryName(qname).trigger(availableNow=True).start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "q51 streaming rollup did not finish within 600s — refusing "
+            "to hash a partially-filled memory sink"
+        )
     return spark.table(qname).select(
         F.unix_timestamp("win_start").alias("win_start"),
         "event_type", "n", "min_id", "max_id",
@@ -3060,8 +3080,7 @@ def q52_complete_ways_poly(spark, sf_dir) -> DataFrame:
     import os
     import tempfile
 
-    from .operators.filters import filter_objs, find_objs_filter
-    from .sources.poly import read_poly_file, region_contains_udf
+    from .sources.poly import read_poly_file, region_pred_column
 
     fd, path = tempfile.mkstemp(suffix=".poly")
     try:
@@ -3070,37 +3089,10 @@ def q52_complete_ways_poly(spark, sf_dir) -> DataFrame:
         region = read_poly_file(path)
     finally:
         os.unlink(path)
-
-    nodes = spark.table("nodes")
-    way_refs = spark.table("way_refs")
-    rel_members = spark.table("rels").select(
-        "rel_id", F.lit("w").alias("mtype"),
-        F.col("member_way").alias("ref"),
-    )
-    # native envelope conjunction first: Catalyst pushes it to the scan,
-    # so the Arrow pnpoly only sees envelope survivors (the same
-    # prune-then-residual shape as poly_region_filter)
-    ex0, ey0, ex1, ey1 = region.envelope()
-    pred = (
-        (F.col("lon") >= ex0) & (F.col("lon") <= ex1)
-        & (F.col("lat") >= ey0) & (F.col("lat") <= ey1)
-        & region_contains_udf(region)(F.col("lon"), F.col("lat"))
-    )
-    ids = find_objs_filter(nodes, way_refs, rel_members, pred)
-    out = filter_objs(nodes, way_refs, rel_members, ids)
-    return (
-        out["nodes"].select(F.lit("n").alias("etype"),
-                            F.col("node_id").alias("id")).distinct()
-        .unionByName(
-            out["way_refs"].select(F.lit("w").alias("etype"),
-                                   F.col("way_id").alias("id")).distinct()
-        )
-        .unionByName(
-            out["rel_members"].select(F.lit("r").alias("etype"),
-                                      F.col("rel_id").alias("id"))
-            .distinct()
-        )
-    )
+    # region_pred_column = native envelope conjunction (pushed to the
+    # scan) AND the Arrow pnpoly residual — the same predicate
+    # poly_region_filter applies
+    return _complete_ways(spark, region_pred_column(region))
 
 
 def q52_oracle() -> str:

@@ -224,18 +224,30 @@ def poly_tile_filter(cells: DataFrame, region: PolyRegion,
     return out.filter(F.col(col)).drop("tile_intersects", "tile_contains")
 
 
+def region_pred_column(region: PolyRegion, lon_col: str = "lon",
+                       lat_col: str = "lat",
+                       prefilter_bbox: bool = True) -> Column:
+    """The region-membership predicate as ONE Column: native union-
+    envelope conjunction first (Catalyst pushes it to the scan) AND the
+    exact Arrow pnpoly residual — usable anywhere a boolean Column fits
+    (point filters, the complete-ways closure seed, join conditions)."""
+    pred = region_contains_udf(region)(F.col(lon_col), F.col(lat_col))
+    if prefilter_bbox and region.polys:
+        minx, miny, maxx, maxy = region.envelope()
+        pred = (
+            (F.col(lon_col) >= minx) & (F.col(lon_col) <= maxx)
+            & (F.col(lat_col) >= miny) & (F.col(lat_col) <= maxy)
+            & pred
+        )
+    return pred
+
+
 def poly_region_filter(points: DataFrame, region: PolyRegion,
                        lon_col: str = "lon", lat_col: str = "lat",
                        prefilter_bbox: bool = True) -> DataFrame:
     """Filter points to those inside the .poly region.  Native union-
     envelope prefilter (pruned at the scan via pushdown) then the exact
     Arrow residual — the LocTest prune-then-test shape (poly.go:37-108)."""
-    df = points
-    if prefilter_bbox and region.polys:
-        minx, miny, maxx, maxy = region.envelope()
-        df = df.filter(
-            (F.col(lon_col) >= minx) & (F.col(lon_col) <= maxx)
-            & (F.col(lat_col) >= miny) & (F.col(lat_col) <= maxy)
-        )
-    pred = region_contains_udf(region)
-    return df.filter(pred(F.col(lon_col), F.col(lat_col)))
+    return points.filter(
+        region_pred_column(region, lon_col, lat_col, prefilter_bbox)
+    )

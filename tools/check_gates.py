@@ -32,10 +32,14 @@ def main():
     names = sys.argv[1:] or sorted(gate.GATE_QUERIES)
     from pyspark.sql import SparkSession
 
-    cpus = os.environ.get("SPARK_GRAFT_CHECK_CPUS", "8")
+    try:
+        cpus = int(os.environ.get("SPARK_GRAFT_CHECK_CPUS", "8"))
+    except ValueError:
+        sys.exit("SPARK_GRAFT_CHECK_CPUS must be an integer thread count "
+                 "(it sizes both local[N] and the shuffle partitions)")
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(int(cpus) * 2))
+        .config("spark.sql.shuffle.partitions", str(cpus * 2))
         # sf0.1 stress sessions at DEFAULT driver memory: the 10MB
         # auto-broadcast threshold broadcasts fact tables at sandbox
         # sizes and OOMs a 1g driver over a long multi-query session
