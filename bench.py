@@ -198,6 +198,28 @@ def _timed_run(cpus: int, amplify: int) -> tuple[dict, float, int]:
         n_nodes = nodes.count()
         n_refs = way_refs.count()
         run_pipeline(spark, nodes, way_refs, gate.QUERY_BOXES, None)  # warmup
+        # Self-calibration (round-5): every headline run carries its own
+        # noise floor so a uniformly-inflated window (box contention during
+        # the driver's run) is distinguishable from a real regression by
+        # anyone reading the one JSON line.  Two code-independent probes:
+        #   calib_trivial_job_s — a zero-work Spark action (pure per-action
+        #     serial cost: scheduling + commit); tracks JVM/driver health.
+        #   calib_cpu_kops — single-process Python busy-loop rate; tracks
+        #     instantaneous free CPU on this shared box.
+        # Interpretation rule (BENCH/BASELINE.md): compare against the
+        # quiet-box reference values recorded there — if the headline
+        # regressed but calib moved by a similar factor, the window is
+        # environmental, not an engine change.
+        calib_jobs = []
+        for _ in range(3):
+            t0 = time.time()
+            _force(spark.range(8).repartition(8))
+            calib_jobs.append(time.time() - t0)
+        calib_jobs.sort()
+        timings0 = {
+            "calib_trivial_job_s": round(calib_jobs[1], 3),  # median of 3
+            "calib_cpu_kops": round(_burn(0.5) / 0.5 / 1000, 1),
+        }
         # min of 2 timed pipelines: this is a shared box and a single run
         # can land on a contention burst (per BASELINE.md methodology)
         best_secs, timings = None, {}
@@ -216,6 +238,7 @@ def _timed_run(cpus: int, amplify: int) -> tuple[dict, float, int]:
         # the 8 query boxes through partition-pruned scans (file skipping)
         _partitioned_serving(spark, nodes, way_refs, timings)
         _ann_stage(spark, timings)
+        timings.update(timings0)
         return timings, secs, elements
     finally:
         spark.stop()
@@ -319,33 +342,48 @@ def main():
                 / (SCALE_HIGH / SCALE_LOW),
                 3,
             )
+            # A measured efficiency above 1.0 is NON-PHYSICAL (adding cores
+            # cannot make each core faster): it means a contention burst hit
+            # the low probe that the brackets missed.  Such a round is
+            # NON-EVIDENCE in the favorable direction — it never becomes the
+            # headline and never stops the probe early (round-4's driver run
+            # broke after a single 1.149 round because the old early-exit
+            # only checked eff >= 0.8).
+            physical = eff <= 1.0
             pairs.append({"lo": lo, "hi": hi, "ceiling": ceiling,
                           "eff": eff, "stable": stable,
+                          "physical": physical,
                           "c_before": c_before, "c_mid": c_mid,
                           "c_after": c_after})
-            if stable and eff >= 0.8:
+            if stable and physical and eff >= 0.8:
                 break
             if time.time() - t_start > budget:
                 break
-        valid = [p for p in pairs if p["stable"]] or pairs
-        best = max(valid, key=lambda p: p["eff"])
         # Headline rule: the best ADJACENT pair whose bracketing pure-CPU
         # calibrations were quiet and agreed (the designed methodology —
-        # adjacency controls drift, brackets detect tenants), clamped to
-        # 1.0 (super-linear = a burst the brackets missed; noise may only
-        # understate).  The cross-round best-of-levels ratio (each level's
-        # fastest run) is reported as a secondary indicator; it mixes
-        # non-adjacent windows, so it only REPLACES the headline when no
-        # stable round exists at all.
+        # adjacency controls drift, brackets detect tenants) AND whose
+        # ratio is physical (<= 1.0).  The cross-round best-of-levels
+        # ratio (each level's fastest run) is reported as a secondary
+        # indicator; it mixes non-adjacent windows, so it only REPLACES
+        # the headline when no stable physical round exists at all.
         lo_best = min(p["lo"]["secs"] for p in pairs)
         hi_best = min(p["hi"]["secs"] for p in pairs)
         eff_bestlevels = round((lo_best / hi_best) / (SCALE_HIGH / SCALE_LOW),
                                3)
-        any_stable = any(p["stable"] for p in pairs)
-        if any_stable:
-            headline_eff = min(best["eff"], 1.0)
+        evidence = [p for p in pairs if p["stable"] and p["physical"]]
+        if evidence:
+            best = max(evidence, key=lambda p: p["eff"])
+            headline_eff = best["eff"]
+            evidence_kind = "stable-physical-pair"
         else:
+            # No physical stable window this run: fall back to the least
+            # optimistic defensible number and SAY SO — a non-physical
+            # window must never be laundered into the headline.
+            valid = [p for p in pairs if p["stable"]] or pairs
+            best = max(valid, key=lambda p: p["eff"])
             headline_eff = min(best["eff"], eff_bestlevels, 1.0)
+            evidence_kind = "non-physical-window (non-evidence; see " \
+                            "BENCH/BASELINE.md for last physical pair)"
         results["queries"]["scaling_low_cpus"] = SCALE_LOW
         results["queries"]["scaling_high_cpus"] = SCALE_HIGH
         results["queries"]["scaling_low_docs_per_sec"] = best["lo"]["docs_per_sec"]
@@ -355,7 +393,14 @@ def main():
         results["queries"]["scaling_efficiency_best_levels"] = eff_bestlevels
         results["queries"]["hw_ceiling_efficiency"] = best["ceiling"]
         results["queries"]["scaling_all_rounds"] = [p["eff"] for p in pairs]
-        _write_scaling_md(best, pairs, headline_eff, eff_bestlevels)
+        results["queries"]["scaling_round_evidence"] = [
+            ("ok" if p["stable"] and p["physical"]
+             else "non-physical" if not p["physical"]
+             else "unstable") for p in pairs
+        ]
+        results["queries"]["scaling_evidence"] = evidence_kind
+        _write_scaling_md(best, pairs, headline_eff, eff_bestlevels,
+                          evidence_kind, results["queries"])
 
     print(json.dumps(results))
 
@@ -404,13 +449,30 @@ def _burn(seconds: float) -> int:
 
 
 def _write_scaling_md(best: dict, pairs: list, headline_eff: float,
-                      eff_bestlevels: float):
+                      eff_bestlevels: float, evidence_kind: str,
+                      queries: dict):
     lo, hi = best["lo"], best["hi"]
     eff, ceiling = best["eff"], best["ceiling"]
     rounds_md = "\n".join(
         f"| {i + 1} | {p['lo']['secs']} | {p['hi']['secs']} | {p['eff']} |"
         f" {p['ceiling']} | {'yes' if p.get('stable') else 'NO'} |"
+        f" {'yes' if p.get('physical', True) else 'NO — non-evidence'} |"
         for i, p in enumerate(pairs)
+    )
+    calib_md = (
+        f"Self-calibration of the headline run (same session): "
+        f"calib_trivial_job_s = **{queries.get('calib_trivial_job_s')}** "
+        f"(zero-work Spark action — per-action serial cost), "
+        f"calib_cpu_kops = **{queries.get('calib_cpu_kops')}** "
+        f"(single-process busy-loop rate — instantaneous free CPU).\n"
+        f"Quiet-box reference (measured round 5): calib_trivial_job_s "
+        f"~ 0.05-0.2, calib_cpu_kops ~ 8000-10000 (this box; compare "
+        f"against the values recorded in past BENCH_r*.json, not "
+        f"absolutes).  Interpretation rule: a headline "
+        f"regression accompanied by a proportional calib degradation is "
+        f"ENVIRONMENTAL (shared-box contention during the window), not an "
+        f"engine change; only a headline move at quiet calib values is "
+        f"evidence about the code."
     )
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
@@ -429,9 +491,19 @@ calibration (per-core busy-loop throughput ratio between the same two
 process counts — the ceiling ANY perfectly-parallel code can reach under
 the instantaneous machine conditions).
 
-| round | local[{SCALE_LOW}] secs | local[{SCALE_HIGH}] secs | efficiency | hw ceiling | stable window |
-|---|---|---|---|---|---|
+A round is EVIDENCE only if (a) its bracketing calibrations are quiet and
+agree (stable window) AND (b) its ratio is physical (<= 1.0 — adding cores
+cannot make each core faster; a super-linear reading means a burst hit the
+low probe and the round is discarded as non-evidence, never clamped into
+the headline).
+
+| round | local[{SCALE_LOW}] secs | local[{SCALE_HIGH}] secs | efficiency | hw ceiling | stable window | physical |
+|---|---|---|---|---|---|---|
 {rounds_md}
+
+Evidence class of this run's headline: **{evidence_kind}**.
+
+{calib_md}
 
 Best-conditioned pairing:
 
@@ -443,8 +515,9 @@ Best-conditioned pairing:
 best stable-bracketed adjacent-pair efficiency = (tp_B / tp_A) /
 ({SCALE_HIGH}/{SCALE_LOW}) = **{eff}**; secondary indicator — cross-round
 best-of-levels ratio (each level's fastest run; mixes non-adjacent
-windows) = **{eff_bestlevels}**; HEADLINE (stable pair, clamped <= 1.0;
-best-of-levels replaces it only when no bracketed-quiet round exists)
+windows) = **{eff_bestlevels}**; HEADLINE (best stable AND physical pair;
+the fallbacks replace it only when no such round exists, and then the
+evidence class above says so)
 = **{headline_eff}**
 (target >= 0.8 per BASELINE.json north_rule; sandbox stand-in for N vs 4N
 executors per BASELINE.md "Sandbox scaling protocol").

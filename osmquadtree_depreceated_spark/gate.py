@@ -2580,6 +2580,7 @@ def _register_ref_views(spark, include_relations: bool) -> None:
     multipolygons, whose osm_id the view NEGATES per
     packeddatastore.go:354-359).  Shared by q46 (Column-builder surface)
     and q48 (verbatim SQL-string surface)."""
+    from .functions.wkb import wkb_collection_udf, wkb_udf
     from .operators.geometry import add_way_coords, make_way_geometries
     from .plans.sqlcompat import register_geometry_views
 
@@ -2588,12 +2589,16 @@ def _register_ref_views(spark, include_relations: bool) -> None:
     feats = g.filter(F.col("is_feature")).select(
         F.lit("way").alias("kind"), F.col("way_id").alias("id"),
         "geom_type", "z_order", "cell", "tags",
+        # the serving views expose the geometry blob as column `way`
+        # (packeddatastore.go:361-362) — here the WKB encoding
+        wkb_udf()(F.col("geom_type"), "lons", "lats").alias("way"),
     )
     polys = feats.filter(F.col("geom_type") == 3)
     if include_relations:
         mp = _mp_fixture_df(spark, _Q46_REL_FIXTURE).select(
             F.lit("relation").alias("kind"), F.col("rel_id").alias("id"),
             F.lit(3).alias("geom_type"), "z_order", "cell", "tags",
+            wkb_collection_udf()(F.col("rings")).alias("way"),
         )
         polys = polys.unionByName(mp)
     register_geometry_views(
@@ -2631,6 +2636,11 @@ def q46_ref_sql_surface(spark, sf_dir) -> DataFrame:
         make_float("highway").alias("hw_f"),
         numchar(F.coalesce(F.col("highway"), F.lit("")), "e").alias("n_e"),
         maxwidth(F.concat_ws("\n", "name", "highway")).alias("mw"),
+        # the `way` geometry blob column (packeddatastore.go:361-362),
+        # value-hashed structurally as q35 does: total length + the
+        # 9-byte header (endianness, geometry type, first count word)
+        F.length("way").alias("way_len"),
+        F.lower(F.hex(F.expr("substring(way, 1, 9)"))).alias("way_hdr"),
     )
 
 
@@ -2694,6 +2704,8 @@ def _q46_rel_rows() -> list | None:
             _float_or_0(hw),
             (hw or "").count("e"),
             max(len(name), len(hw)) if hw is not None else len(name),
+            int(d["wkb_len"]),
+            d["hdr_hex"],
         ))
     return rows
 
@@ -2725,8 +2737,21 @@ wt as (
          case when {nm_c} then 'n' || (way_id % 9) end as nm
   from (select distinct way_id from way_refs) w
 ),
+q46pts as (
+  select w.way_id, w.ref,
+         row_number() over (partition by w.way_id order by w.pos, w.ref)
+           as rn,
+         count(*) over (partition by w.way_id) as np
+  from way_refs w join nodes n on w.ref = n.node_id
+),
+q46cl as (
+  select way_id, np,
+         (np >= 3 and min(case when rn = 1 then ref end)
+                      = min(case when rn = np then ref end)) as closed
+  from q46pts group by way_id, np
+),
 sel as (
-  select way_id, hw, nm,
+  select way_id, hw, nm, has_bl,
          cast(case when (case {rank} else 0 end) > 1
               then (case {rank} else 0 end) else 0 end as bigint) as zord
   from wt
@@ -2739,8 +2764,12 @@ select s.way_id as osm_id, s.zord as z_order, c.cell as quadtree,
        cast(case when s.hw is null then 0 else (case {e_case} else 0 end)
             end as bigint) as n_e,
        cast(greatest(length(s.nm), length(coalesce(s.hw, ''))) as int)
-         as mw
-from sel s join gq_cells c using (way_id)"""
+         as mw,
+       cast(case when l.closed and s.has_bl then 13 + 16 * l.np
+                 else 9 + 16 * l.np end as int) as way_len,
+       case when l.closed and s.has_bl then '000000000300000001'
+            else '0000000002' || printf('%08x', l.np) end as way_hdr
+from sel s join gq_cells c using (way_id) join q46cl l using (way_id)"""
         + _q46_rel_union_sql()
     )
 
@@ -2753,16 +2782,17 @@ def _q46_rel_union_sql() -> str:
         return ""
     vals = ",\n  ".join(
         f"({oi}, {zo}, {cell}, {str(n1).lower()}, {nm}, {_dlit(hf)}, "
-        f"{ne}, {mw})"
-        for oi, zo, cell, n1, nm, hf, ne, mw in rows
+        f"{ne}, {mw}, {wl}, '{wh}')"
+        for oi, zo, cell, n1, nm, hf, ne, mw, wl, wh in rows
     )
     return f"""
 union all
 select cast(osm_id as bigint), cast(z_order as bigint),
        cast(quadtree as bigint), is_n1, cast(nm_num as bigint),
-       cast(hw_f as double), cast(n_e as bigint), cast(mw as int)
+       cast(hw_f as double), cast(n_e as bigint), cast(mw as int),
+       cast(way_len as int), way_hdr
 from (values\n  {vals}\n) as r(osm_id, z_order, quadtree, is_n1, nm_num,
-                               hw_f, n_e, mw)"""
+                               hw_f, n_e, mw, way_len, way_hdr)"""
 
 
 # q48: the verbatim reference-dialect SQL string, executed through the

@@ -333,8 +333,7 @@ def duplicate_clusters(pairs: DataFrame, a_col: str = "doc_a",
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    changed = -1  # "never converged" sentinel for the max_iters<=0 case
-    for _ in range(max_iters):
+    def _round(labels):
         msgs = edges.join(
             labels, edges["src"] == labels["id"]
         ).select(F.col("dst").alias("id"), "label")
@@ -350,7 +349,16 @@ def duplicate_clusters(pairs: DataFrame, a_col: str = "doc_a",
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels = new_labels
+        return new_labels, changed
+
+    # max_iters + 1 rounds: `changed` counts relabels DURING a round, so
+    # when the final useful round lands exactly on iteration max_iters the
+    # labels are fully converged but convergence is only OBSERVABLE one
+    # round later — the extra round is that observation (and costs nothing
+    # when convergence happened earlier: the loop breaks first)
+    changed = -1  # "never converged" sentinel for the max_iters<=0 case
+    for _ in range(max_iters + 1 if max_iters > 0 else 0):
+        labels, changed = _round(labels)
         if changed == 0:
             break
     else:

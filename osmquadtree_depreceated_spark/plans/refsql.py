@@ -103,14 +103,30 @@ def _expand_all(sql: str, name: str, render) -> str:
 
 # ------------------------------------------------------ quirk macros
 
+def _strip_pgcast(e: str) -> str:
+    """makeNumVal/makeFloatVal cut the RUNTIME VALUE at '::' before
+    parsing (osmselect.go:109-116): makeinteger('5::int') is 5 even when
+    the '::' arrives in the data, not the query text.  split_part returns
+    the whole string when no '::' is present, and NULL for NULL."""
+    return f"split_part(cast(({e}) as string), '::', 1)"
+
+
 def _mi(args):
-    (e,) = args
-    return f"coalesce(try_cast(({e}) as bigint), 0)"
+    if len(args) != 1:  # reference: arity != 1 -> NULL (functions.go:96-99)
+        return "cast(null as bigint)"
+    # '5.5' parses as float, not int, so makeinteger('5.5') is 0
+    # (functions.go:102-107: only an INTEGER makeNumVal result survives);
+    # Spark's try_cast string->bigint rejects decimals the same way
+    return f"coalesce(try_cast({_strip_pgcast(args[0])} as bigint), 0)"
 
 
 def _mf(args):
-    (e,) = args
-    return f"coalesce(try_cast(({e}) as double), cast(0.0 as double))"
+    if len(args) != 1:  # functions.go:111-114
+        return "cast(null as double)"
+    return (
+        f"coalesce(try_cast({_strip_pgcast(args[0])} as double), "
+        f"cast(0.0 as double))"
+    )
 
 
 def _nc(args):
@@ -122,8 +138,25 @@ def _nc(args):
 
 
 def _mw(args):
-    (s,) = args
-    return f"array_max(transform(split(({s}), '\\n'), t -> length(t)))"
+    """maxwidthFunc (functions.go:69-92): arity 1 (separator '\\n') or 2
+    (custom separator expression); any other arity -> NULL, and an empty
+    or NULL separator -> NULL.  The separator is a LITERAL string in the
+    reference (strings.Split), so the regex-split operand is \\Q..\\E
+    quoted (a separator containing the two-char sequence '\\E' would
+    break the quoting — documented limit, FIXTURES.md §3)."""
+    if len(args) == 1:
+        s = args[0]
+        return f"array_max(transform(split(({s}), '\\n'), t -> length(t)))"
+    if len(args) != 2:
+        return "cast(null as bigint)"
+    s, sep = args
+    quoted = f"concat('\\\\Q', ({sep}), '\\\\E')"
+    return (
+        f"(case when ({sep}) is null or length(({sep})) = 0 "
+        f"then cast(null as bigint) "
+        f"else array_max(transform(split(({s}), {quoted}), "
+        f"t -> length(t))) end)"
+    )
 
 
 def _sr(args):

@@ -57,12 +57,21 @@ def ref_substr(col, frm: int, count: int | None = None) -> Column:
 
 def make_integer(col: str) -> Column:
     """parse-or-0 (functions.go:95-108).  Takes a column name / SQL
-    fragment."""
-    return F.expr(f"coalesce(try_cast({col} as bigint), 0)")
+    fragment.  makeNumVal cuts the RUNTIME VALUE at '::' before parsing
+    (osmselect.go:109-116) — makeinteger('5::int') is 5 even when the
+    '::' arrives in the data — hence the split_part."""
+    return F.expr(
+        f"coalesce(try_cast(split_part(cast(({col}) as string), '::', 1) "
+        f"as bigint), 0)"
+    )
 
 
 def make_float(col: str) -> Column:
-    return F.expr(f"coalesce(try_cast({col} as double), 0.0)")
+    """parse-or-0 with the same runtime '::' strip (osmselect.go:130-143)."""
+    return F.expr(
+        f"coalesce(try_cast(split_part(cast(({col}) as string), '::', 1) "
+        f"as double), 0.0)"
+    )
 
 
 def numchar(col, ch: str) -> Column:
@@ -75,9 +84,19 @@ def numchar(col, ch: str) -> Column:
 
 
 def maxwidth(col, sep: str = "\n") -> Column:
-    """Longest split-segment length (functions.go:69-93)."""
+    """Longest split-segment length (functions.go:69-93).  The reference
+    accepts a custom separator as the optional second argument and
+    returns NULL for an empty separator (functions.go:76-83); the
+    separator is split LITERALLY (strings.Split), hence the re.escape
+    before Spark's regex split."""
+    import re as _re
+
     c = F.col(col) if isinstance(col, str) else col
-    return F.array_max(F.transform(F.split(c, sep), lambda s: F.length(s)))
+    if not sep:
+        return F.lit(None).cast("long")
+    return F.array_max(
+        F.transform(F.split(c, _re.escape(sep)), lambda s: F.length(s))
+    )
 
 
 def register_geometry_views(spark, points: DataFrame | None = None,
@@ -114,6 +133,11 @@ def register_geometry_views(spark, points: DataFrame | None = None,
             cols.append(F.col("way_area"))
         if "cell" in df.columns:
             cols.append(F.col("cell").alias("quadtree"))
+        # the reference exposes the geometry blob as column `way`
+        # (packeddatastore.go:361-362); here it is the WKB blob the
+        # caller attached (functions/wkb.py) — same name, same role
+        if "way" in df.columns:
+            cols.append(F.col("way"))
         for k in tag_keys:
             cols.append(F.expr(f"element_at(tags, '{k}')").alias(k))
         df.select(*cols).createOrReplaceTempView(name)

@@ -178,3 +178,21 @@ def test_duplicate_clusters_chain_and_star(prepped):
         10: 10, 11: 10, 12: 10, 13: 10
     }
     assert got[20] == 20 and got[21] == 20
+
+
+def test_clusters_converge_on_final_allowed_round(spark):
+    # regression (round-5 ADVICE): a chain of diameter d converges DURING
+    # round d, but `changed` only reads 0 one round later — max_iters == d
+    # must still succeed (one extra verification round), not raise
+    from osmquadtree_depreceated_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in duplicate_clusters(pairs, max_iters=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}

@@ -130,3 +130,46 @@ def test_ref_sql_union_all_duplicates(spark):
         spark, "select a from t_u union select a from t_u"
     ).collect()
     assert len(got) == 2  # reference UNION never dedups
+
+
+def test_ref_sql_runtime_pgcast_strip(spark):
+    # makeNumVal cuts the RUNTIME VALUE at '::' (osmselect.go:109-116):
+    # makeinteger over a column whose DATA contains '5::int' yields 5,
+    # not 0 — the strip is not only a lexer affair
+    df = spark.createDataFrame(
+        [(1, "5::int"), (2, "5.5::real"), (3, "::9"), (4, "7"),
+         (5, None)],
+        ["i", "v"],
+    )
+    df.createOrReplaceTempView("t_pg")
+    got = {
+        r.i: (r.mi, r.mf)
+        for r in ref_sql(
+            spark,
+            "select i, makeinteger(v) as mi, makefloat(v) as mf from t_pg",
+        ).collect()
+    }
+    assert got == {
+        1: (5, 5.0),        # '5::int' -> '5'
+        2: (0, 5.5),        # '5.5' parses float, not int -> mi 0
+        3: (0, 0.0),        # '::9' -> '' -> parse fail -> 0
+        4: (7, 7.0),
+        5: (0, 0.0),        # NULL input -> 0 (coalesce)
+    }
+
+
+def test_ref_sql_maxwidth_two_arg(spark):
+    # maxwidthFunc (functions.go:69-92): optional custom separator,
+    # split LITERALLY; empty separator -> NULL; arity > 2 -> NULL
+    df = spark.createDataFrame([(1, "ab,c,dddd")], ["i", "v"])
+    df.createOrReplaceTempView("t_mw")
+    row = ref_sql(spark, """
+select maxwidth(v, ',') as w2, maxwidth(v) as w1,
+       maxwidth(v, '.') as wdot, maxwidth(v, '') as wempty,
+       maxwidth(v, ',', ',') as w3
+from t_mw""").collect()[0]
+    assert row.w2 == 4          # 'dddd'
+    assert row.w1 == 9          # no newline -> whole string
+    assert row.wdot == 9        # '.' is literal, not regex any-char
+    assert row.wempty is None   # empty separator -> NULL
+    assert row.w3 is None       # arity 3 -> NULL

