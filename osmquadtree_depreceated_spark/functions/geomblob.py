@@ -1,0 +1,453 @@
+"""Packed geometry-blob codec — the reference's native geometry wire
+format (SURVEY.md §2.6 last row).
+
+This is the PBF-tagged blob the reference stores per geometry and serves
+as the raw ``way`` column value (geometry/pbf.go:75-290,
+packeddatastore.go:361-362; wire helpers utils/writevals.go:16-60,
+119-157, 183-220):
+
+  outer message (tag, wiretype 0 = varint value / 2 = length-delimited):
+    10  varint   geometry type (1 Point, 2 Linestring, 3 Polygon, 7 Multi)
+    11  varint   zigzag(z_order)                 (absent for Point)
+    12  varint   float64 BITS of way_area        (Polygon/Multi only —
+                 the reference varint-encodes the raw IEEE bits)
+    13  msg      point coord {1: zz(ref), 2: zz(lon), 3: zz(lat)}
+    14  msg      linestring ring (below)
+    15  msg      polygon = repeated {1: ring}; Multi repeats tag 15
+    16  msg      bbox {1: zz(minx), 2: zz(miny), 5: zz(w), 6: zz(h)}
+    17  varint   element type (0 node, 1 way, 2 relation)
+  ring message: {1: delta-packed refs, 2: delta-packed lons,
+                 3: delta-packed lats} — each a packed run of
+                 zigzag-varint DELTAS (first delta from 0,
+                 utils.PackDeltaPackedList).
+
+Spark-first shape: encoders/decoders are Arrow-batched pandas UDFs whose
+numeric core is fully vectorized numpy — zigzag, varint byte-count, and
+varint byte EMISSION run as flat array passes over the whole batch
+(10 masked passes, one per possible varint byte); per-row work is only
+memory slicing, exactly like functions/wkb.py.  The decoder walks the
+~6 outer tags per blob in Python (O(tags), not O(bytes)) and decodes the
+coordinate payload — which is nearly all of the bytes — in flat
+vectorized passes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+GEOM_POINT, GEOM_LINESTRING, GEOM_POLYGON, GEOM_MULTI = 1, 2, 3, 7
+
+_U7 = np.uint64(7)
+_U1 = np.uint64(1)
+_MASK7 = np.uint64(0x7F)
+
+
+# ----------------------------------------------------- varint core
+
+def _zigzag(x: np.ndarray) -> np.ndarray:
+    """int64 -> uint64 zigzag (writevals.go:16-22)."""
+    x = np.asarray(x, dtype=np.int64)
+    return (x.astype(np.uint64) << _U1) ^ (x >> np.int64(63)).astype(
+        np.uint64
+    )
+
+
+def _unzigzag(u: np.ndarray) -> np.ndarray:
+    u = np.asarray(u, dtype=np.uint64)
+    return ((u >> _U1).astype(np.int64)) ^ -(u & _U1).astype(np.int64)
+
+
+def _uvarint_sizes(u: np.ndarray) -> np.ndarray:
+    """Bytes each uvarint takes (1..10)."""
+    sizes = np.ones(len(u), dtype=np.int64)
+    for k in range(1, 10):
+        sizes += (u >= (_U1 << np.uint64(7 * k))).astype(np.int64)
+    return sizes
+
+
+def _pack_uvarints(u: np.ndarray):
+    """Flat varint emission: (bytes, per-value sizes).  Ten masked
+    vectorized passes — pass j writes byte j of every varint that has
+    one."""
+    u = np.asarray(u, dtype=np.uint64)
+    sizes = _uvarint_sizes(u)
+    offs = np.zeros(len(u), dtype=np.int64)
+    if len(u):
+        offs[1:] = np.cumsum(sizes)[:-1]
+    out = np.zeros(int(sizes.sum()), dtype=np.uint8)
+    for j in range(10):
+        mask = sizes > j
+        if not mask.any():
+            break
+        vals = ((u[mask] >> np.uint64(7 * j)) & _MASK7).astype(np.uint8)
+        cont = (sizes[mask] - 1 > j).astype(np.uint8) << 7
+        out[offs[mask] + j] = vals | cont
+    return out, sizes
+
+
+def _unpack_uvarints(buf: np.ndarray):
+    """Flat varint decode of a buffer that is NOTHING BUT varints:
+    (values, count).  Vectorized: terminator bytes (high bit clear) mark
+    varint ends; each byte contributes (b & 0x7f) << 7*pos shifted into
+    its varint's slot, summed per varint."""
+    buf = np.asarray(buf, dtype=np.uint8)
+    if len(buf) == 0:
+        return np.array([], dtype=np.uint64)
+    ends = np.flatnonzero(buf < 0x80)
+    starts = np.zeros(len(ends), dtype=np.int64)
+    starts[1:] = ends[:-1] + 1
+    intra = np.arange(len(buf), dtype=np.int64) - np.repeat(
+        starts, ends - starts + 1
+    )
+    contrib = (buf.astype(np.uint64) & _MASK7) << (
+        intra.astype(np.uint64) * _U7
+    )
+    return np.add.reduceat(contrib, starts)
+
+
+def _delta_pack_rows(flat: np.ndarray, lens: np.ndarray):
+    """Per-row delta-packed lists from one flat value array: returns
+    (flat bytes, per-row byte lengths).  Deltas restart at each row
+    (first delta is from 0, PackDeltaPackedList)."""
+    flat = np.asarray(flat, dtype=np.int64)
+    deltas = np.empty_like(flat)
+    if len(flat):
+        deltas[0] = flat[0]
+        deltas[1:] = flat[1:] - flat[:-1]
+        row_starts = np.zeros(len(lens), dtype=np.int64)
+        row_starts[1:] = np.cumsum(lens)[:-1]
+        nz = lens > 0
+        deltas[row_starts[nz]] = flat[row_starts[nz]]
+    packed, sizes = _pack_uvarints(_zigzag(deltas))
+    byte_lens = np.zeros(len(lens), dtype=np.int64)
+    if len(flat):
+        pos = np.zeros(len(lens) + 1, dtype=np.int64)
+        pos[1:] = np.cumsum(lens)
+        csz = np.zeros(len(sizes) + 1, dtype=np.int64)
+        csz[1:] = np.cumsum(sizes)
+        byte_lens = csz[pos[1:]] - csz[pos[:-1]]
+    return packed, byte_lens
+
+
+def _uvarint1(v: int) -> bytes:
+    out = bytearray()
+    v = int(v)
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _key(tag: int, wt: int) -> bytes:
+    return _uvarint1((tag << 3) | wt)
+
+
+def _zz1(x: int) -> int:
+    return (int(x) << 1) ^ (int(x) >> 63) if x < 0 else int(x) << 1
+
+
+# ------------------------------------------------------- encoders
+
+def _ring_bytes_rows(refs_seq, lons_seq, lats_seq):
+    """Per-row packed ring message bytes (tags 1/2/3 delta lists)."""
+    n = len(lons_seq)
+    lens = np.fromiter((0 if x is None else len(x) for x in lons_seq),
+                       dtype=np.int64, count=n)
+
+    def flat(seq):
+        parts = [np.asarray(x, dtype=np.int64) for x in seq
+                 if x is not None and len(x)]
+        return (np.concatenate(parts) if parts
+                else np.array([], dtype=np.int64))
+
+    packs = []
+    for tag, seq in ((1, refs_seq), (2, lons_seq), (3, lats_seq)):
+        pbytes, blens = _delta_pack_rows(flat(seq), lens)
+        starts = np.zeros(n, dtype=np.int64)
+        starts[1:] = np.cumsum(blens)[:-1]
+        packs.append((tag, pbytes, blens, starts))
+    out = []
+    for i in range(n):
+        if lons_seq[i] is None:
+            out.append(None)
+            continue
+        b = bytearray()
+        for tag, pbytes, blens, starts in packs:
+            seg = pbytes[starts[i]:starts[i] + blens[i]].tobytes()
+            b += _key(tag, 2) + _uvarint1(len(seg)) + seg
+        out.append(bytes(b))
+    return out
+
+
+def _bbox_bytes(lons, lats) -> bytes:
+    lons = np.asarray(lons, dtype=np.int64)
+    lats = np.asarray(lats, dtype=np.int64)
+    minx, maxx = int(lons.min()), int(lons.max())
+    miny, maxy = int(lats.min()), int(lats.max())
+    return (
+        _key(1, 0) + _uvarint1(_zz1(minx))
+        + _key(2, 0) + _uvarint1(_zz1(miny))
+        + _key(5, 0) + _uvarint1(_zz1(maxx - minx))
+        + _key(6, 0) + _uvarint1(_zz1(maxy - miny))
+    )
+
+
+def pack_point_rows(refs, lons, lats, ots):
+    """packPointData (pbf.go:208-217): {10:1}{13:coord}{17:ot}."""
+    out = []
+    for ref, lon, lat, ot in zip(refs, lons, lats, ots):
+        coord = (
+            _key(1, 0) + _uvarint1(_zz1(ref))
+            + _key(2, 0) + _uvarint1(_zz1(lon))
+            + _key(3, 0) + _uvarint1(_zz1(lat))
+        )
+        out.append(
+            _key(10, 0) + _uvarint1(GEOM_POINT)
+            + _key(13, 2) + _uvarint1(len(coord)) + coord
+            + _key(17, 0) + _uvarint1(int(ot))
+        )
+    return out
+
+
+def pack_linestring_rows(refs_seq, lons_seq, lats_seq, zorders, ots,
+                         with_bbox: bool = True):
+    """packLinestringData (pbf.go:248-258):
+    {10:2}{11:zz(zo)}{14:ring}[{16:bbox}]{17:ot}."""
+    rings = _ring_bytes_rows(refs_seq, lons_seq, lats_seq)
+    out = []
+    for i, ring in enumerate(rings):
+        if ring is None:
+            out.append(None)
+            continue
+        b = (
+            _key(10, 0) + _uvarint1(GEOM_LINESTRING)
+            + _key(11, 0) + _uvarint1(_zz1(int(zorders[i])))
+            + _key(14, 2) + _uvarint1(len(ring)) + ring
+        )
+        if with_bbox:
+            bb = _bbox_bytes(lons_seq[i], lats_seq[i])
+            b += _key(16, 2) + _uvarint1(len(bb)) + bb
+        out.append(b + _key(17, 0) + _uvarint1(int(ots[i])))
+    return out
+
+
+def _polygon_msg(rings: list[bytes]) -> bytes:
+    b = bytearray()
+    for ring in rings:
+        b += _key(1, 2) + _uvarint1(len(ring)) + ring
+    return bytes(b)
+
+
+def pack_polygon_rows(rings_refs_seq, rings_lons_seq, rings_lats_seq,
+                      zorders, areas, ots, with_bbox: bool = True,
+                      multi: bool = False):
+    """packPolygonData / packMultiGeometryData (pbf.go:267-290,292-312).
+
+    Single polygon: rings_*_seq[i] is a list of rings (outer first).
+    Multi: rings_*_seq[i] is a list of POLYGONS, each a list of rings —
+    one tag-15 message per polygon."""
+    n = len(rings_lons_seq)
+    out = []
+    for i in range(n):
+        if rings_lons_seq[i] is None:
+            out.append(None)
+            continue
+        gt = GEOM_MULTI if multi else GEOM_POLYGON
+        ar_bits = int(np.float64(areas[i]).view(np.uint64))
+        b = bytearray(
+            _key(10, 0) + _uvarint1(gt)
+            + _key(11, 0) + _uvarint1(_zz1(int(zorders[i])))
+            + _key(12, 0) + _uvarint1(ar_bits)
+        )
+        polys = (rings_lons_seq[i] if multi else [rings_lons_seq[i]])
+        all_lons, all_lats = [], []
+        for p, poly_lons in enumerate(polys):
+            poly_refs = (rings_refs_seq[i][p] if multi
+                         else rings_refs_seq[i])
+            poly_lats = (rings_lats_seq[i][p] if multi
+                         else rings_lats_seq[i])
+            rings = _ring_bytes_rows(
+                list(poly_refs), list(poly_lons), list(poly_lats)
+            )
+            b += _key(15, 2)
+            pm = _polygon_msg(rings)
+            b += _uvarint1(len(pm)) + pm
+            for r in poly_lons:
+                all_lons.extend(r)
+            for r in poly_lats:
+                all_lats.extend(r)
+        if with_bbox:
+            bb = _bbox_bytes(all_lons, all_lats)
+            b += _key(16, 2) + _uvarint1(len(bb)) + bb
+        b += _key(17, 0) + _uvarint1(int(ots[i]))
+        out.append(bytes(b))
+    return out
+
+
+# -------------------------------------------------------- decoder
+
+def _read_uvarint(mv, pos: int):
+    shift, val = 0, 0
+    while True:
+        b = int(mv[pos])  # int-cast: numpy uint8 would wrap at shift>=8
+        pos += 1
+        val |= (b & 0x7F) << shift
+        if b < 0x80:
+            return val, pos
+        shift += 7
+
+
+def _walk_tags(mv, lo: int, hi: int):
+    """Yield (tag, value, data_span) over a message; O(#tags) per call —
+    the byte-heavy payloads inside the spans decode vectorized."""
+    pos = lo
+    while pos < hi:
+        key, pos = _read_uvarint(mv, pos)
+        tag, wt = key >> 3, key & 7
+        if wt == 0:
+            val, pos = _read_uvarint(mv, pos)
+            yield tag, val, None
+        elif wt == 2:
+            ln, pos = _read_uvarint(mv, pos)
+            yield tag, None, (pos, pos + ln)
+            pos += ln
+        else:
+            raise ValueError(f"unsupported wiretype {wt}")
+
+
+def _decode_ring(buf: np.ndarray, lo: int, hi: int):
+    """Ring message -> (refs, lons, lats) int64 arrays."""
+    mv = buf
+    parts = {1: None, 2: None, 3: None}
+    for tag, _val, span in _walk_tags(mv, lo, hi):
+        if tag in parts and span is not None:
+            vals = _unpack_uvarints(np.frombuffer(
+                mv, dtype=np.uint8, count=span[1] - span[0],
+                offset=span[0]))
+            parts[tag] = np.cumsum(_unzigzag(vals))
+    empty = np.array([], dtype=np.int64)
+    return (parts[1] if parts[1] is not None else empty,
+            parts[2] if parts[2] is not None else empty,
+            parts[3] if parts[3] is not None else empty)
+
+
+def unpack_blob(b: bytes):
+    """Blob -> dict(gt, ot, zo, ar, rings=[(refs, lons, lats), ...],
+    polys=[ring-count per tag-15 message]) (extractGeometryData,
+    pbf.go:75-117)."""
+    buf = memoryview(bytes(b))
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    gt, ot, zo, ar = 0, 0, 0, 0.0
+    rings, polys = [], []
+    for tag, val, span in _walk_tags(buf, 0, len(buf)):
+        if tag == 10:
+            gt = val
+        elif tag == 11:
+            zo = int(_unzigzag(np.array([val], dtype=np.uint64))[0])
+        elif tag == 12:
+            ar = float(np.uint64(val).view(np.float64))
+        elif tag == 13:
+            c = {1: 0, 2: 0, 3: 0}
+            for t2, v2, _s2 in _walk_tags(buf, *span):
+                if t2 in c:
+                    c[t2] = int(_unzigzag(
+                        np.array([v2], dtype=np.uint64))[0])
+            rings.append((np.array([c[1]]), np.array([c[2]]),
+                          np.array([c[3]])))
+            polys.append(1)
+        elif tag == 14:
+            rings.append(_decode_ring(arr, *span))
+            polys.append(1)
+        elif tag == 15:
+            cnt = 0
+            for t2, _v2, s2 in _walk_tags(buf, *span):
+                if t2 == 1 and s2 is not None:
+                    rings.append(_decode_ring(arr, *s2))
+                    cnt += 1
+            polys.append(cnt)
+        elif tag == 17:
+            ot = val
+    return {"gt": gt, "ot": ot, "zo": zo, "ar": ar, "rings": rings,
+            "polys": polys}
+
+
+# ----------------------------------------------------- udf surface
+
+def pack_linestring_udf(with_bbox: bool = True):
+    """pandas UDF (refs, lons, lats array<long>, zo long, ot int) ->
+    binary packed-geometry blob."""
+
+    @F.pandas_udf("binary")
+    def _pack(refs: pd.Series, lons: pd.Series, lats: pd.Series,
+              zo: pd.Series, ot: pd.Series) -> pd.Series:
+        return pd.Series(
+            pack_linestring_rows(list(refs), list(lons), list(lats),
+                                 zo.to_numpy(np.int64),
+                                 ot.to_numpy(np.int64), with_bbox),
+            dtype=object,
+        )
+
+    return _pack
+
+
+def pack_point_udf():
+    @F.pandas_udf("binary")
+    def _pack(ref: pd.Series, lon: pd.Series, lat: pd.Series,
+              ot: pd.Series) -> pd.Series:
+        return pd.Series(
+            pack_point_rows(ref.to_numpy(np.int64),
+                            lon.to_numpy(np.int64),
+                            lat.to_numpy(np.int64),
+                            ot.to_numpy(np.int64)),
+            dtype=object,
+        )
+
+    return _pack
+
+
+_DECODE_SCHEMA = (
+    "struct<gt:int, ot:int, zo:bigint, ar:double, n_rings:int, "
+    "np:int, sum_ref:bigint, sum_lon:bigint, sum_lat:bigint, "
+    "first_lon:bigint, last_lat:bigint>"
+)
+
+
+def parse_geomblob_udf():
+    """pandas UDF blob -> decoded summary struct (round-trip checks).
+    Full ring recovery stays available via unpack_blob for tests."""
+
+    @F.pandas_udf(_DECODE_SCHEMA)
+    def _parse(blob: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in blob:
+            if b is None:
+                rows.append({k: None for k in (
+                    "gt", "ot", "zo", "ar", "n_rings", "np", "sum_ref",
+                    "sum_lon", "sum_lat", "first_lon", "last_lat")})
+                continue
+            d = unpack_blob(b)
+            refs = (np.concatenate([r[0] for r in d["rings"]])
+                    if d["rings"] else np.array([], dtype=np.int64))
+            lons = (np.concatenate([r[1] for r in d["rings"]])
+                    if d["rings"] else np.array([], dtype=np.int64))
+            lats = (np.concatenate([r[2] for r in d["rings"]])
+                    if d["rings"] else np.array([], dtype=np.int64))
+            rows.append({
+                "gt": d["gt"], "ot": d["ot"], "zo": d["zo"],
+                "ar": d["ar"], "n_rings": len(d["rings"]),
+                "np": int(len(lons)),
+                "sum_ref": int(refs.sum()) if len(refs) else 0,
+                "sum_lon": int(lons.sum()) if len(lons) else 0,
+                "sum_lat": int(lats.sum()) if len(lats) else 0,
+                "first_lon": int(lons[0]) if len(lons) else None,
+                "last_lat": int(lats[-1]) if len(lats) else None,
+            })
+        return pd.DataFrame(rows)
+
+    return _parse

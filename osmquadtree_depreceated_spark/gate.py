@@ -3387,6 +3387,166 @@ def q39_oracle_build() -> str | None:
     )
 
 
+# q53: packed geometry-blob codec (the reference's native geometry wire
+# format and raw `way` column value — geometry/pbf.go:75-290,
+# packeddatastore.go:361-362).  Engine: encode node Points and way
+# Linestrings into blobs (functions/geomblob.py, vectorized varint
+# kernel), decode them back, emit blob length + header + decoded fields.
+# Oracle: ARITHMETIC — DuckDB recomputes every varint's byte count from
+# the raw coordinates (zigzag + delta chain per packed list, bbox,
+# tag-key widths), so a single mis-sized varint anywhere in the stack
+# fails the length; the decoded fields are predicted straight from the
+# source tables, so encode/decode cannot hide symmetric bugs (golden
+# bytes are additionally pinned in tests/test_geomblob.py).
+
+def _zz_sql(e: str) -> str:
+    """zigzag as DuckDB hugeint arithmetic (writevals.go:16-22)."""
+    return (f"(case when ({e}) >= 0 then 2*cast(({e}) as hugeint) "
+            f"else -2*cast(({e}) as hugeint) - 1 end)")
+
+
+def _vsz_sql(u: str) -> str:
+    """uvarint byte count (1..10) of a non-negative hugeint."""
+    cases = " ".join(
+        f"when ({u}) < {1 << (7 * k)} then {k}" for k in range(1, 10)
+    )
+    return f"(case {cases} else 10 end)"
+
+
+def q53_geometry_blob(spark, sf_dir) -> DataFrame:
+    """Packed geometry-blob round trip: nodes as Point blobs
+    (packPointData), ways as Linestring blobs with bbox
+    (packLinestringData), decoded back by the engine's own reader —
+    blob_len/header verified arithmetically, decoded fields against the
+    source tables."""
+    _prep(spark, sf_dir)
+    from .functions.geomblob import (
+        pack_linestring_udf, pack_point_udf, parse_geomblob_udf,
+    )
+    from .operators.geometry import add_way_coords
+
+    parse = parse_geomblob_udf()
+    out_cols = [
+        "kind", "id", "blob_len", "hdr_hex", "gt", "ot", "zo_dec", "np",
+        "sum_ref", "sum_lon", "sum_lat", "first_lon", "last_lat",
+    ]
+
+    wc = add_way_coords(spark.table("way_refs"), spark.table("nodes"))
+    ways = wc.select(
+        "way_id", "refs", "lons", "lats",
+        (F.col("way_id") % 1001 - 500).alias("zo"),  # negatives: zigzag
+    ).withColumn(
+        "blob",
+        pack_linestring_udf()("refs", "lons", "lats", "zo", F.lit(1)),
+    ).withColumn("d", parse(F.col("blob")))
+    w_out = ways.select(
+        F.lit("way").alias("kind"), F.col("way_id").alias("id"),
+        F.length("blob").alias("blob_len"),
+        F.lower(F.hex(F.expr("substring(blob, 1, 3)"))).alias("hdr_hex"),
+        F.col("d.gt").alias("gt"), F.col("d.ot").alias("ot"),
+        F.col("d.zo").alias("zo_dec"), F.col("d.np").alias("np"),
+        F.col("d.sum_ref").alias("sum_ref"),
+        F.col("d.sum_lon").alias("sum_lon"),
+        F.col("d.sum_lat").alias("sum_lat"),
+        F.col("d.first_lon").alias("first_lon"),
+        F.col("d.last_lat").alias("last_lat"),
+    )
+
+    nodes = spark.table("nodes").withColumn(
+        "blob", pack_point_udf()(F.col("node_id"), F.col("lon"),
+                                 F.col("lat"), F.lit(0)),
+    ).withColumn("d", parse(F.col("blob")))
+    n_out = nodes.select(
+        F.lit("node").alias("kind"), F.col("node_id").alias("id"),
+        F.length("blob").alias("blob_len"),
+        F.lower(F.hex(F.expr("substring(blob, 1, 3)"))).alias("hdr_hex"),
+        F.col("d.gt").alias("gt"), F.col("d.ot").alias("ot"),
+        F.col("d.zo").alias("zo_dec"), F.col("d.np").alias("np"),
+        F.col("d.sum_ref").alias("sum_ref"),
+        F.col("d.sum_lon").alias("sum_lon"),
+        F.col("d.sum_lat").alias("sum_lat"),
+        F.col("d.first_lon").alias("first_lon"),
+        F.col("d.last_lat").alias("last_lat"),
+    )
+    return w_out.unionByName(n_out).select(*out_cols)
+
+
+def q53_oracle() -> str:
+    zz, vsz = _zz_sql, _vsz_sql
+
+    def vz(e: str) -> str:
+        return vsz(zz(e))
+
+    way_sql = f"""
+wpts as (
+  select w.way_id, w.ref, n.lon, n.lat,
+         row_number() over (partition by w.way_id order by w.pos, w.ref)
+           as rn,
+         count(*) over (partition by w.way_id) as np
+  from way_refs w join nodes n on w.ref = n.node_id
+),
+wdel as (
+  select way_id, rn, np, ref, lon, lat,
+         ref - lag(ref, 1, 0) over w as dref,
+         lon - lag(lon, 1, 0) over w as dlon,
+         lat - lag(lat, 1, 0) over w as dlat
+  from wpts
+  window w as (partition by way_id order by rn)
+),
+wsz as (
+  select way_id, max(np) as np,
+         sum({vz('dref')}) as refs_b,
+         sum({vz('dlon')}) as lons_b,
+         sum({vz('dlat')}) as lats_b,
+         min(lon) as minx, max(lon) as maxx,
+         min(lat) as miny, max(lat) as maxy,
+         sum(ref) as sum_ref, sum(lon) as sum_lon, sum(lat) as sum_lat,
+         min(case when rn = 1 then lon end) as first_lon,
+         min(case when rn = np then lat end) as last_lat
+  from wdel group by way_id
+),
+wlen as (
+  select *, way_id % 1001 - 500 as zo,
+         (1 + {vsz('refs_b')} + refs_b) + (1 + {vsz('lons_b')} + lons_b)
+           + (1 + {vsz('lats_b')} + lats_b) as ring_b,
+         4 + {vz('minx')} + {vz('miny')} + {vz('maxx - minx')}
+           + {vz('maxy - miny')} as bbox_b
+  from wsz
+)
+select 'way' as kind, way_id as id,
+       cast(2 + 1 + {vz('zo')}
+            + 1 + {vsz('ring_b')} + ring_b
+            + 2 + {vsz('bbox_b')} + bbox_b
+            + 3 as int) as blob_len,
+       '500258' as hdr_hex, 2 as gt, 1 as ot,
+       cast(zo as bigint) as zo_dec, cast(np as int) as np,
+       cast(sum_ref as bigint) as sum_ref,
+       cast(sum_lon as bigint) as sum_lon,
+       cast(sum_lat as bigint) as sum_lat,
+       cast(first_lon as bigint) as first_lon,
+       cast(last_lat as bigint) as last_lat
+from wlen"""
+
+    node_sql = f"""
+select 'node' as kind, node_id as id,
+       cast(2
+            + 1 + {vsz(f"1 + {vz('node_id')} + 1 + {vz('lon')} "
+                       f"+ 1 + {vz('lat')}")}
+            + 1 + {vz('node_id')} + 1 + {vz('lon')} + 1 + {vz('lat')}
+            + 3 as int) as blob_len,
+       '50016a' as hdr_hex, 1 as gt, 0 as ot,
+       cast(0 as bigint) as zo_dec, 1 as np,
+       cast(node_id as bigint) as sum_ref,
+       cast(lon as bigint) as sum_lon, cast(lat as bigint) as sum_lat,
+       cast(lon as bigint) as first_lon, cast(lat as bigint) as last_lat
+from nodes"""
+
+    return (
+        tpch.synth_cte_prefix("nodes", "way_refs") + ","
+        + way_sql + "\nunion all" + node_sql
+    )
+
+
 # --------------------------------------------------------------- registry
 
 GATE_QUERIES = {
@@ -3442,6 +3602,7 @@ GATE_QUERIES = {
     "q50_snapshot_pipeline": q50_snapshot_pipeline,
     "q51_streaming_rollup": q51_streaming_rollup,
     "q52_complete_ways_poly": q52_complete_ways_poly,
+    "q53_geometry_blob": q53_geometry_blob,
 }
 
 class _LazyOracles(dict):
@@ -3533,6 +3694,7 @@ GATE_ORACLES = _LazyOracles({
     "q50_snapshot_pipeline": q50_oracle,  # lazy-ish: composes q03-q05
     "q51_streaming_rollup": q28_oracle(),  # streaming must equal batch
     "q52_complete_ways_poly": q52_oracle,  # lazy-ish: pnpoly composite
+    "q53_geometry_blob": q53_oracle(),
 })
 
 

@@ -1,0 +1,147 @@
+"""Packed geometry-blob codec (functions/geomblob.py vs
+geometry/pbf.go:75-312 + utils/writevals.go wire format)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osmquadtree_depreceated_spark.functions.geomblob import (
+    _pack_uvarints, _unpack_uvarints, _unzigzag, _zigzag,
+    pack_linestring_rows, pack_linestring_udf, pack_point_rows,
+    pack_point_udf, pack_polygon_rows, parse_geomblob_udf, unpack_blob,
+)
+
+
+# independent scalar helpers (second implementation for golden bytes)
+def _uv(v: int) -> bytes:
+    out = b""
+    while True:
+        x = v & 0x7F
+        v >>= 7
+        if v:
+            out += bytes([x | 0x80])
+        else:
+            return out + bytes([x])
+
+
+def _zz(x: int) -> int:
+    return ((x << 1) ^ (x >> 63)) if x < 0 else (x << 1)
+
+
+def test_uvarint_boundaries():
+    vals = np.array(
+        [0, 1, 127, 128, 16383, 16384, 2**21 - 1, 2**21, 2**32,
+         2**63 - 1, 2**63, 2**64 - 1],
+        dtype=np.uint64,
+    )
+    packed, sizes = _pack_uvarints(vals)
+    assert list(sizes) == [1, 1, 1, 2, 2, 3, 3, 4, 5, 9, 10, 10]
+    assert (_unpack_uvarints(packed) == vals).all()
+    # byte-level golden check against the independent packer
+    assert packed.tobytes() == b"".join(_uv(int(v)) for v in vals)
+
+
+def test_zigzag_matches_reference_rule():
+    x = np.array([0, -1, 1, -2, 2, -2**62, 2**62, -2**63], dtype=np.int64)
+    zz = _zigzag(x)
+    assert [int(v) for v in zz[:5]] == [0, 1, 2, 3, 4]
+    assert (_unzigzag(zz) == x).all()
+
+
+def test_linestring_golden_bytes():
+    refs, lons, lats = [10, 11, 12], [-500000, -499900, -499800], \
+        [100, 200, 150]
+    [blob] = pack_linestring_rows([refs], [lons], [lats], [-37], [1])
+
+    def ring_part(tag_key, vals):
+        deltas, prev = [], 0
+        for v in vals:
+            deltas.append(v - prev)
+            prev = v
+        seg = b"".join(_uv(_zz(d)) for d in deltas)
+        return bytes([tag_key]) + _uv(len(seg)) + seg
+
+    ring = (ring_part(0x0A, refs) + ring_part(0x12, lons)
+            + ring_part(0x1A, lats))
+    bbox = (bytes([0x08]) + _uv(_zz(min(lons))) + bytes([0x10])
+            + _uv(_zz(min(lats))) + bytes([0x28])
+            + _uv(_zz(max(lons) - min(lons))) + bytes([0x30])
+            + _uv(_zz(max(lats) - min(lats))))
+    expected = (
+        bytes([0x50]) + _uv(2) + bytes([0x58]) + _uv(_zz(-37))
+        + bytes([0x72]) + _uv(len(ring)) + ring
+        + bytes([0x82, 0x01]) + _uv(len(bbox)) + bbox
+        + bytes([0x88, 0x01]) + _uv(1)
+    )
+    assert blob == expected
+
+
+def test_point_roundtrip_and_header():
+    [blob] = pack_point_rows([42], [-1234567], [7654321], [0])
+    assert blob[:3].hex() == "50016a"
+    d = unpack_blob(blob)
+    assert d["gt"] == 1 and d["ot"] == 0
+    refs, lons, lats = d["rings"][0]
+    assert (int(refs[0]), int(lons[0]), int(lats[0])) == \
+        (42, -1234567, 7654321)
+
+
+def test_polygon_and_multi_roundtrip():
+    rr = [[1, 2, 3, 1], [9, 8, 7, 9]]
+    rl = [[0, 100, 100, 0], [10, 20, 20, 10]]
+    rt = [[0, 0, 100, 0], [10, 10, 20, 10]]
+    [blob] = pack_polygon_rows([rr], [rl], [rt], [5], [123.456], [2])
+    d = unpack_blob(blob)
+    assert d["gt"] == 3 and d["ot"] == 2 and d["zo"] == 5
+    assert d["ar"] == 123.456  # exact: IEEE bits round-trip the varint
+    assert d["polys"] == [2]
+    assert [list(r[1]) for r in d["rings"]] == rl
+
+    [mb] = pack_polygon_rows(
+        [[rr, [rr[0]]]], [[rl, [rl[0]]]], [[rt, [rt[0]]]],
+        [0], [1.5], [2], multi=True,
+    )
+    d = unpack_blob(mb)
+    assert d["gt"] == 7 and d["polys"] == [2, 1] and len(d["rings"]) == 3
+
+
+def test_empty_and_single_point_ways():
+    [b1] = pack_linestring_rows([[7]], [[100]], [[200]], [0], [1])
+    d = unpack_blob(b1)
+    assert list(d["rings"][0][1]) == [100]
+    [b0] = pack_linestring_rows([None], [None], [None], [0], [1])
+    assert b0 is None
+
+
+@pytest.mark.parametrize("zo", [0, -1, 1, -(2**31), 2**31])
+def test_extreme_zorders(zo):
+    [b] = pack_linestring_rows([[1]], [[2]], [[3]], [zo], [1])
+    assert unpack_blob(b)["zo"] == zo
+
+
+def test_udf_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, [10, 11], [-5, 5], [7, 9], -3),
+         (2, [20], [1000000], [-1000000], 12)],
+        "id long, refs array<long>, lons array<long>, lats array<long>, "
+        "zo long",
+    )
+    out = df.withColumn(
+        "blob", pack_linestring_udf()("refs", "lons", "lats", "zo",
+                                      F.lit(1)),
+    ).withColumn("d", parse_geomblob_udf()(F.col("blob"))).select(
+        "id", "d.zo", "d.np", "d.sum_lon", "d.gt",
+    ).collect()
+    got = {r.id: (r.zo, r.np, r.sum_lon, r.gt) for r in out}
+    assert got == {1: (-3, 2, 0, 2), 2: (12, 1, 1000000, 2)}
+
+    pts = spark.createDataFrame([(5, 44, -33)], "id long, lon long, "
+                                "lat long")
+    row = pts.withColumn(
+        "blob", pack_point_udf()(F.col("id"), F.col("lon"), F.col("lat"),
+                                 F.lit(0)),
+    ).withColumn("d", parse_geomblob_udf()(F.col("blob"))).select(
+        "d.gt", "d.sum_lon", "d.sum_lat", F.length("blob").alias("ln"),
+    ).collect()[0]
+    assert (row.gt, row.sum_lon, row.sum_lat) == (1, 44, -33)
+    assert row.ln == len(pack_point_rows([5], [44], [-33], [0])[0])
