@@ -145,3 +145,51 @@ def test_udf_roundtrip(spark):
     ).collect()[0]
     assert (row.gt, row.sum_lon, row.sum_lat) == (1, 44, -33)
     assert row.ln == len(pack_point_rows([5], [44], [-33], [0])[0])
+
+
+# ------------------- hypothesis property sweep (pure Python, no Spark)
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_COORD = st.integers(-1800000000, 1800000000)
+_REF = st.integers(0, 2**48)
+_WAY = st.lists(
+    st.tuples(_REF, _COORD, _COORD), min_size=1, max_size=12,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(way=_WAY, zo=st.integers(-2**31, 2**31), ot=st.integers(0, 2))
+def test_linestring_blob_property(way, zo, ot):
+    refs = [w[0] for w in way]
+    lons = [w[1] for w in way]
+    lats = [w[2] for w in way]
+    [blob] = pack_linestring_rows([refs], [lons], [lats], [zo], [ot])
+
+    # 1) independent scalar packer produces the SAME bytes
+    def ring_part(tag_key, vals):
+        prev, seg = 0, b""
+        for v in vals:
+            seg += _uv(_zz(v - prev))
+            prev = v
+        return bytes([tag_key]) + _uv(len(seg)) + seg
+
+    ring = (ring_part(0x0A, refs) + ring_part(0x12, lons)
+            + ring_part(0x1A, lats))
+    bbox = (bytes([0x08]) + _uv(_zz(min(lons))) + bytes([0x10])
+            + _uv(_zz(min(lats))) + bytes([0x28])
+            + _uv(_zz(max(lons) - min(lons))) + bytes([0x30])
+            + _uv(_zz(max(lats) - min(lats))))
+    expected = (
+        bytes([0x50]) + _uv(2) + bytes([0x58]) + _uv(_zz(zo))
+        + bytes([0x72]) + _uv(len(ring)) + ring
+        + bytes([0x82, 0x01]) + _uv(len(bbox)) + bbox
+        + bytes([0x88, 0x01]) + _uv(ot)
+    )
+    assert blob == expected
+
+    # 2) the vectorized decoder round-trips it
+    d = unpack_blob(blob)
+    assert d["gt"] == 2 and d["ot"] == ot and d["zo"] == zo
+    r, x, y = d["rings"][0]
+    assert list(r) == refs and list(x) == lons and list(y) == lats

@@ -259,3 +259,63 @@ def test_refsql_rewriter_matches_reference_semantics(
                 f"ast={n}\nsql={sql}\n"
                 f"rewritten={rewrite_ref_sql(sql)}"
             )
+
+
+# ---- extension: column-valued maxwidth separators, WHERE + UNION ----
+
+_MWC_NODE = st.builds(lambda s, c: ("mwc", s, c), _STR_NODE,
+                      st.sampled_from(["name", "hw"]))
+
+
+def _ev_mwc(node, row):
+    v, sep = _ev(node[1], row), row[node[2]]
+    if v is None or sep is None or sep == "":
+        return None
+    return max(len(t) for t in v.split(sep))
+
+
+@given(nodes=st.lists(_MWC_NODE, min_size=1, max_size=4),
+       seed=st.integers(0, 2**31))
+def test_maxwidth_column_separator(spark, fuzz_df, nodes, seed):
+    rng = random.Random(seed)
+    cols = ", ".join(
+        f"{fname}({_render(n[1], rng)}, {n[2]}) as c{i}"
+        for i, n in enumerate(nodes)
+        for fname in [rng.choice(["maxwidth", "MAXWIDTH"])]
+    )
+    got = {r["id"]: r for r in spark.sql(rewrite_ref_sql(
+        f"select id, {cols} from fuzz_t")).collect()}
+    for rid, name, hw in ROWS:
+        row = {"id": rid, "name": name, "hw": hw}
+        for i, n in enumerate(nodes):
+            want = _ev_mwc(n, row)
+            have = got[rid][f"c{i}"]
+            assert have == want or (have is None and want is None), (
+                f"row {rid}: {have!r} != {want!r} ast={n}")
+
+
+@given(e1=_STR_NODE, e2=_STR_NODE, p1=_PRED_NODE, p2=_PRED_NODE,
+       seed=st.integers(0, 2**31))
+def test_where_and_union_semantics(spark, fuzz_df, e1, e2, p1, p2, seed):
+    # UNION in the reference dialect NEVER dedups (UNION ALL), and the
+    # LIKE rewrite must work inside WHERE exactly as in SELECT
+    rng = random.Random(seed)
+    sql = (
+        f"select id, {_render(e1, rng)} as v from fuzz_t "
+        f"where {_render(p1, rng)} "
+        f"union select id, {_render(e2, rng)} as v from fuzz_t "
+        f"where {_render(p2, rng)}"
+    )
+    key = lambda t: (t[0], t[1] is not None, t[1] or "")  # noqa: E731
+    got = sorted(
+        ((r["id"], r["v"]) for r in
+         spark.sql(rewrite_ref_sql(sql)).collect()), key=key,
+    )
+    want = []
+    for rid, name, hw in ROWS:
+        row = {"id": rid, "name": name, "hw": hw}
+        if _ev(p1, row):
+            want.append((rid, _ev(e1, row)))
+        if _ev(p2, row):
+            want.append((rid, _ev(e2, row)))
+    assert got == sorted(want, key=key), f"sql={sql}"
