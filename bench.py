@@ -238,6 +238,7 @@ def _timed_run(cpus: int, amplify: int) -> tuple[dict, float, int]:
         # the 8 query boxes through partition-pruned scans (file skipping)
         _partitioned_serving(spark, nodes, way_refs, timings)
         _ann_stage(spark, timings)
+        _geomblob_stage(spark, nodes, way_refs, timings)
         timings.update(timings0)
         return timings, secs, elements
     finally:
@@ -287,6 +288,36 @@ def _ann_stage(spark, timings: dict):
     t = time.time()
     _force(ivf_topk(queries, emb, 10))
     timings["ann_ivf_topk_32q"] = round(time.time() - t, 3)
+
+
+def _geomblob_stage(spark, nodes, way_refs, timings: dict):
+    """Packed geometry-blob codec stage (round-5): encode every node as
+    a Point blob and every way as a Linestring blob (vectorized varint
+    kernel, functions/geomblob.py), decode them back, count.  Tracks
+    codec throughput at scale — the reference's native wire format as a
+    serving-surface cost."""
+    from pyspark.sql import functions as F
+
+    from osmquadtree_depreceated_spark.functions.geomblob import (
+        pack_linestring_udf, pack_point_udf, parse_geomblob_udf,
+    )
+    from osmquadtree_depreceated_spark.operators.geometry import (
+        add_way_coords,
+    )
+
+    parse = parse_geomblob_udf()
+    t = time.time()
+    pts = nodes.withColumn(
+        "blob", pack_point_udf()(F.col("node_id"), F.col("lon"),
+                                 F.col("lat"), F.lit(0)),
+    ).select(parse(F.col("blob")).alias("d"))
+    ways = add_way_coords(way_refs, nodes).withColumn(
+        "blob",
+        pack_linestring_udf()("refs", "lons", "lats",
+                              (F.col("way_id") % 1001 - 500), F.lit(1)),
+    ).select(parse(F.col("blob")).alias("d"))
+    _force(pts.unionByName(ways).select("d.np"))
+    timings["geomblob_pack_decode"] = round(time.time() - t, 3)
 
 
 def main():

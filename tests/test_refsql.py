@@ -2,6 +2,7 @@
 sqlselect/osmselect.go:109-143, functions.go, sql.y)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from osmquadtree_depreceated_spark.plans.refsql import (
     ref_sql,
@@ -173,3 +174,38 @@ from t_mw""").collect()[0]
     assert row.wdot == 9        # '.' is literal, not regex any-char
     assert row.wempty is None   # empty separator -> NULL
     assert row.w3 is None       # arity 3 -> NULL
+
+
+def test_way_column_can_serve_packed_blob(spark):
+    # the reference's `way` value IS the packed geometry blob
+    # (packeddatastore.go:361-362).  The serving views take whatever
+    # `way` column the caller attaches — WKB (gate q46's choice) or the
+    # byte-faithful packed blob via functions/geomblob.py.  A verbatim
+    # dialect query selecting `way` then returns reference-format bytes.
+    from osmquadtree_depreceated_spark.functions.geomblob import (
+        pack_linestring_rows, pack_linestring_udf, unpack_blob,
+    )
+    from osmquadtree_depreceated_spark.plans.sqlcompat import (
+        register_geometry_views,
+    )
+
+    df = spark.createDataFrame(
+        [(8, [1, 2], [10, 20], [30, 40], 5, "nb")],
+        "way_id long, refs array<long>, lons array<long>, "
+        "lats array<long>, z_order long, name string",
+    ).withColumn(
+        "way",
+        pack_linestring_udf()("refs", "lons", "lats",
+                              F.col("z_order"), F.lit(1)),
+    ).withColumn("tags", F.create_map(F.lit("name"), F.col("name")))
+    register_geometry_views(spark, lines=df, tag_keys=("name",))
+    [row] = ref_sql(
+        spark, "select osm_id, way from planet_osm_line where "
+               "name like 'n%'"
+    ).collect()
+    assert row.osm_id == 8
+    assert bytes(row.way) == pack_linestring_rows(
+        [[1, 2]], [[10, 20]], [[30, 40]], [5], [1]
+    )[0]
+    d = unpack_blob(bytes(row.way))
+    assert d["zo"] == 5 and list(d["rings"][0][1]) == [10, 20]
