@@ -3387,6 +3387,90 @@ def q39_oracle_build() -> str | None:
     )
 
 
+# q54/q55: multimodal plumbing breadth — image RESIZE (real PNG path:
+# decode -> stride -> re-encode, nothing but stdlib; the oracle predicts
+# the resized pixels from the synthesizer's closed form and never sees
+# the bytes) and video FRAME-SAMPLE (the 1:N mapInPandas fan-out shape;
+# stub frame payload recomputed by the oracle).
+
+def q54_media_resize(spark, sf_dir) -> DataFrame:
+    """Decode -> nearest-neighbor 2x downsample -> re-encode -> decode
+    again -> features.  Any bug in the decoder, the stride, or the
+    re-encoder shifts some pixel and fails the hash."""
+    _prep(spark, sf_dir)
+    from .operators.media import (
+        extract_media_features, png_blobs, resize_media,
+    )
+
+    media = resize_media(png_blobs(spark.table("documents")), factor=2)
+    return extract_media_features(media).select(
+        "doc_id", "media_ref", "width", "height",
+        *[f"f{i}" for i in range(8)],
+    )
+
+
+def q54_oracle() -> str:
+    # resized pixel(x2, y2) = original pixel(2*x2, 2*y2)
+    #   = (14*x2 + 26*y2 + 31*id) % 256 on a ceil(w/2) x ceil(h/2) grid
+    pix = "((i % w2) * 14 + (i // w2) * 26 + 31 * doc_id) % 256"
+    return f"""
+with dims as (
+  select doc_id,
+         (4 + doc_id % 13 + 1) // 2 as w2,
+         (4 + doc_id % 11 + 1) // 2 as h2
+  from documents
+),
+px as (
+  select doc_id, w2, h2,
+         list_transform(range(0, w2 * h2), i -> {pix}) as p
+  from dims
+)
+select doc_id,
+       'png://' || cast(doc_id as varchar) as media_ref,
+       cast(w2 as int) as width,
+       cast(h2 as int) as height,
+       cast(list_aggregate(p, 'sum') as bigint) as f0,
+       cast(list_aggregate(list_transform(range(0, w2),
+            x -> (x * 14 + 31 * doc_id) % 256), 'sum') as bigint) as f1,
+       cast(list_aggregate(list_transform(range(0, h2),
+            y -> (y * 26 + 31 * doc_id) % 256), 'sum') as bigint) as f2,
+       cast((31 * doc_id) % 256 as bigint) as f3,
+       cast(((w2 - 1) * 14 + (h2 - 1) * 26 + 31 * doc_id) % 256
+            as bigint) as f4,
+       cast(list_aggregate(p, 'max') as bigint) as f5,
+       cast(list_aggregate(p, 'min') as bigint) as f6,
+       cast(len(list_filter(p, v -> v > 127)) as bigint) as f7
+from px"""
+
+
+def q55_media_frames(spark, sf_dir) -> DataFrame:
+    """Frame sampling: every media doc fans out to 4 evenly spaced
+    frames (1:N mapInPandas).  Timestamps from the typed duration
+    metadata; the stub frame payload id is recomputed by the oracle."""
+    _prep(spark, sf_dir)
+    from .operators.media import sample_frames
+
+    media = spark.table("documents").select(
+        "doc_id",
+        F.concat(F.lit("png://"), F.col("doc_id").cast("string"))
+        .alias("media_ref"),
+        (F.lit(1000) + (F.col("doc_id") % 60) * 500).alias("duration_ms"),
+    )
+    return sample_frames(media, n_frames=4)
+
+
+def q55_oracle() -> str:
+    return """
+select d.doc_id,
+       'png://' || cast(d.doc_id as varchar) as media_ref,
+       cast(r.range as int) as frame_idx,
+       cast(r.range * (1000 + (d.doc_id % 60) * 500) // 4 as bigint)
+         as ts_ms,
+       sha256('png://' || cast(d.doc_id as varchar) || ':'
+              || cast(r.range as varchar)) as frame_sha
+from documents d, range(0, 4) r"""
+
+
 # q53: packed geometry-blob codec (the reference's native geometry wire
 # format and raw `way` column value — geometry/pbf.go:75-290,
 # packeddatastore.go:361-362).  Engine: encode node Points and way
@@ -3603,6 +3687,8 @@ GATE_QUERIES = {
     "q51_streaming_rollup": q51_streaming_rollup,
     "q52_complete_ways_poly": q52_complete_ways_poly,
     "q53_geometry_blob": q53_geometry_blob,
+    "q54_media_resize": q54_media_resize,
+    "q55_media_frames": q55_media_frames,
 }
 
 class _LazyOracles(dict):
@@ -3695,6 +3781,8 @@ GATE_ORACLES = _LazyOracles({
     "q51_streaming_rollup": q28_oracle(),  # streaming must equal batch
     "q52_complete_ways_poly": q52_oracle,  # lazy-ish: pnpoly composite
     "q53_geometry_blob": q53_oracle(),
+    "q54_media_resize": q54_oracle(),
+    "q55_media_frames": q55_oracle(),
 })
 
 

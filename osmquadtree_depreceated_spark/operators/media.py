@@ -215,3 +215,83 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(_batches, schema)
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """8-bit grayscale PNG from an (h x w) uint8 array (filter-0 rows +
+    stdlib zlib — the synthesizer's encoding, generalized to any pixel
+    array so decoded-and-transformed images can be re-emitted)."""
+    h, w = px.shape
+    raw = b"".join(b"\x00" + row.tobytes() for row in px)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def resize_media(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Image resize over the binary column — REAL for PNG payloads:
+    decode -> nearest-neighbor stride (px[::factor, ::factor], the
+    top-left-anchored subsample) -> re-encode, all stdlib + numpy inside
+    the Arrow batch.  Non-PNG payloads pass through unchanged (the
+    labeled stub posture: a real deployment adds its codec to this same
+    mapInPandas body).  Shape-preserving (one row per input row);
+    payload bytes never touch the driver."""
+    schema = "doc_id long, media_ref string, blob binary"
+
+    def _batches(it):
+        for pdf in it:
+            out_blobs = []
+            for blob in pdf["blob"]:
+                b = bytes(blob)
+                if b[:8] == PNG_MAGIC:
+                    _w, _h, px = decode_png(b)
+                    out_blobs.append(encode_png(px[::factor, ::factor]))
+                else:
+                    out_blobs.append(b)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "media_ref": pdf["media_ref"],
+                "blob": pd.Series(out_blobs, dtype=object),
+            })
+
+    return media.mapInPandas(_batches, schema)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4,
+                  duration_col: str = "duration_ms") -> DataFrame:
+    """Frame sampling over a video-typed binary column: one input row
+    fans out to `n_frames` output rows with evenly spaced timestamps —
+    the 1:N mapInPandas batch shape a real frame sampler needs (ffmpeg
+    seek+decode goes in this same body; this container has no codec, so
+    the frame payload is the labeled deterministic stub
+    sha256(media_ref:idx), and the gate oracle recomputes it).  Output
+    partitioning follows the input (no shuffle introduced by the
+    fan-out)."""
+    schema = ("doc_id long, media_ref string, frame_idx int, "
+              "ts_ms long, frame_sha string")
+
+    def _batches(it):
+        for pdf in it:
+            n = len(pdf)
+            idx = np.tile(np.arange(n_frames, dtype=np.int64), n)
+            doc = np.repeat(pdf["doc_id"].to_numpy(np.int64), n_frames)
+            dur = np.repeat(pdf[duration_col].to_numpy(np.int64),
+                            n_frames)
+            refs = pdf["media_ref"].to_numpy()
+            ref_rep = np.repeat(refs, n_frames)
+            yield pd.DataFrame({
+                "doc_id": doc,
+                "media_ref": ref_rep,
+                "frame_idx": idx.astype(np.int32),
+                "ts_ms": idx * dur // n_frames,
+                "frame_sha": [
+                    hashlib.sha256(f"{r}:{i}".encode()).hexdigest()
+                    for r, i in zip(ref_rep, idx)
+                ],
+            })
+
+    return media.mapInPandas(_batches, schema)

@@ -212,3 +212,39 @@ def test_relation_multipolygon_geojson_roundtrip(spark):
     assert f2["geometry"]["type"] == "MultiPolygon"
     assert len(f2["geometry"]["coordinates"]) == 2
     assert len(f2["geometry"]["coordinates"][0]) == 1  # one ring per group
+
+
+def test_resize_media_real_pixels(spark):
+    from osmquadtree_depreceated_spark.operators.media import (
+        decode_png, encode_png, png_blobs, resize_media, synth_png_bytes,
+    )
+
+    docs = spark.createDataFrame([(3,), (17,)], ["doc_id"])
+    out = {r.doc_id: bytes(r.blob)
+           for r in resize_media(png_blobs(docs), factor=2).collect()}
+    for did in (3, 17):
+        _w, _h, px = decode_png(synth_png_bytes(did))
+        want = px[::2, ::2]
+        w2, h2, got = decode_png(out[did])
+        assert (got == want).all() and (h2, w2) == want.shape
+    # encode/decode closure on an arbitrary array
+    arr = ((7 * __import__("numpy").arange(30).reshape(5, 6)) % 256
+           ).astype("uint8")
+    assert (decode_png(encode_png(arr))[2] == arr).all()
+
+
+def test_sample_frames_fanout(spark):
+    import hashlib
+
+    from osmquadtree_depreceated_spark.operators.media import sample_frames
+
+    media = spark.createDataFrame(
+        [(1, "v://a", 4000), (2, "v://b", 1000)],
+        "doc_id long, media_ref string, duration_ms long",
+    )
+    rows = sample_frames(media, n_frames=4).collect()
+    assert len(rows) == 8  # 1:N fan-out, N=4 per input row
+    by = {(r.doc_id, r.frame_idx): r for r in rows}
+    assert by[(1, 3)].ts_ms == 3 * 4000 // 4
+    assert by[(2, 1)].ts_ms == 250
+    assert by[(1, 2)].frame_sha == hashlib.sha256(b"v://a:2").hexdigest()
