@@ -27,7 +27,8 @@ def calc_update_tiles(nodes: DataFrame, way_refs: DataFrame,
                       way_cells_df: DataFrame, node_cells_df: DataFrame,
                       node_changes: DataFrame, buffer: float = 0.05,
                       max_level: int = 18, group_level: int = 12,
-                      store=None, batch_id: str | None = None) -> dict:
+                      store=None, batch_id: str | None = None,
+                      missing_node_cap: int | None = None) -> dict:
     """CalcUpdateTiles end-to-end (update/update.go:343-540 +
     locationscache FindTiles): apply a node-change batch and recompute
     cells for ONLY the affected elements, producing tables identical to a
@@ -91,6 +92,27 @@ def calc_update_tiles(nodes: DataFrame, way_refs: DataFrame,
         .distinct()
     )
     aff_refs = way_refs.join(affected_ways, "way_id", "left_semi")
+    # Missing-node accounting (update.go:425-437): the reference logs
+    # every way member whose location is absent after the merge and
+    # PANICS at 100 — a corruption guard on the location cache.  The
+    # distributed analogue is one anti-join COUNT over the affected
+    # subset only (O(changed), not O(base)), surfaced in the result and
+    # enforced when a cap is given.  Cap defaults to None because
+    # legitimately deleting a still-referenced node also counts as
+    # missing (in the reference too) and synthetic fixtures do that
+    # freely; production runs against a trusted cache pass cap=100.
+    missing_refs = (
+        aff_refs.join(merged_nodes, aff_refs["ref"]
+                      == merged_nodes["node_id"], "left_anti")
+        .count()
+    )
+    if missing_node_cap is not None and missing_refs >= missing_node_cap:
+        raise RuntimeError(
+            f"too many missing nodes: {missing_refs} affected-way members "
+            f"have no location after the merge (cap {missing_node_cap}; "
+            "reference panics at 100, update.go:432-437) — location "
+            "cache and change feed disagree"
+        )
     new_wc = _way_cells(
         way_bboxes(aff_refs, merged_nodes, salt_buckets=0),
         buffer, max_level,
@@ -150,6 +172,7 @@ def calc_update_tiles(nodes: DataFrame, way_refs: DataFrame,
         "affected_ways": affected_ways,
         "affected_nodes": affected_nodes,
         "affected_tiles": affected_tiles,
+        "missing_refs": missing_refs,
     }
     if store is not None:
         bid = batch_id or "b1"

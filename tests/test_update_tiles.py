@@ -252,3 +252,31 @@ def test_streaming_osc_wire_format_update_tiles(spark, base, tmp_path):
     got_nc = {r["node_id"]: r["cell"] for r in final_nc.collect()}
     assert got_w == want_w
     assert got_nc == want_nc_
+
+
+def test_missing_node_cap(spark):
+    # reference corruption guard (update.go:425-437): way members with no
+    # location after the merge are counted; a cap turns the count into a
+    # hard failure instead of a silent way drop
+    from osmquadtree_depreceated_spark.operators.update import (
+        calc_update_tiles,
+    )
+
+    nodes = spark.createDataFrame(
+        [(1, 100, 100), (2, 200, 200)], ["node_id", "lon", "lat"]
+    )
+    way_refs = spark.createDataFrame(
+        [(10, 0, 1), (10, 1, 2)], ["way_id", "pos", "ref"]
+    )
+    wc = spark.createDataFrame([(10, 5)], ["way_id", "cell"])
+    nc = spark.createDataFrame([(1, 5), (2, 5)], ["node_id", "cell"])
+    # delete node 2 while way 10 still references it -> 1 missing ref
+    changes = spark.createDataFrame(
+        [(2, 1, "delete", 0, 0)],
+        ["node_id", "seq", "change_type", "lon", "lat"],
+    )
+    out = calc_update_tiles(nodes, way_refs, wc, nc, changes)
+    assert out["missing_refs"] == 1
+    with pytest.raises(RuntimeError, match="missing nodes"):
+        calc_update_tiles(nodes, way_refs, wc, nc, changes,
+                          missing_node_cap=1)
