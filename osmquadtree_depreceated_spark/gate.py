@@ -3631,6 +3631,124 @@ from nodes"""
     )
 
 
+# q56: BYTE semantics of the reference's string quirks over MULTIBYTE
+# input.  The reference measures and slices Go BYTE strings —
+# charlengthFunc/maxwidthFunc use ``len(s)`` and substrFunc slices
+# ``strs[fri-1:fri+toi-1]`` with byte bounds (functions.go:69-92,
+# 125-133,137-165) — where naive Spark ``length``/``substring`` count
+# CHARACTERS.  Every row here carries multibyte text (2/3/4-byte UTF-8)
+# built deterministically from doc_id, so a characters-based
+# implementation fails the hash on nearly every row.  Slices that split
+# a codepoint are compared as exact BYTES (hex); the string view of a
+# valid slice is compared verbatim, with validity itself computed two
+# independent ways (engine: is_valid_utf8 on the slice; oracle: UTF-8
+# continuation-byte boundary arithmetic over the hex dump).
+
+_Q56_S = """case when doc_id % 13 = 0 then cast(null as string) else
+  concat(
+    case cast(doc_id % 4 as int)
+      when 0 then '日本語' when 1 then 'héllo—x'
+      when 2 then 'ab' else 'a😀—ß' end,
+    cast(doc_id % 97 as string),
+    case cast(doc_id % 3 as int)
+      when 0 then '—日' when 1 then '' else 'e' end
+  ) end"""
+
+# from=0 quirk: treated as from=1 with count-1 (functions.go:155-158)
+_Q56_AF = "(case when f = 0 then 1 else f end)"
+_Q56_AC = "(case when f = 0 then c - 1 else c end)"
+
+
+def q56_byte_semantics(spark, sf_dir) -> DataFrame:
+    """Byte-exact quirk surface over multibyte strings, driven through
+    the ref-dialect rewriter (plans/refsql.py): char_length / maxwidth /
+    numchar / substr run as dialect text, plus native byte-slice hex,
+    slice validity, and macro-vs-native slice equality."""
+    _prep(spark, sf_dir)
+    from .plans.refsql import rewrite_ref_sql
+
+    spark.sql(f"""
+        select doc_id, {_Q56_S} as s,
+               cast(doc_id % 11 as int) as f,
+               cast(doc_id % 7 + 1 as int) as c
+        from docs_aug""").createOrReplaceTempView("q56_src")
+
+    in_range = (
+        f"({_Q56_AF} >= 1 and {_Q56_AF} <= octet_length(s) "
+        f"and {_Q56_AC} >= 1 "
+        f"and {_Q56_AF} + {_Q56_AC} - 1 <= octet_length(s))"
+    )
+    slice_b = f"substring(encode(s, 'UTF-8'), {_Q56_AF}, {_Q56_AC})"
+    valid = f"is_valid_utf8(cast({slice_b} as string))"
+    # char_length/maxwidth/numchar/substr below are DIALECT text the
+    # rewriter macro-expands; hex/encode/is_valid_utf8 pass through
+    sql = rewrite_ref_sql(f"""
+        select doc_id, s,
+               char_length(s) as cl,
+               maxwidth(s, '—') as mw,
+               numchar(s, '日') as nc,
+               case when {in_range} then hex({slice_b})
+                    else cast(null as string) end as sub_hex,
+               case when {in_range} then cast({valid} as int)
+                    else cast(null as int) end as sub_valid,
+               case when {in_range} and {valid}
+                    then cast({slice_b} as string)
+                    else cast(null as string) end as sub_s,
+               cast(substr(s, f, c) is not null as int) as sub_ok,
+               case when {in_range} and {valid}
+                    then cast(substr(s, f, c) = cast({slice_b} as string)
+                              as int)
+                    else cast(null as int) end as sub_eq
+        from q56_src""")
+    return spark.sql(sql)
+
+
+def q56_oracle() -> str:
+    return (
+        tpch.synth_cte_prefix("docs_aug")
+        + f""",
+src as (
+  select doc_id, {_Q56_S} as s,
+         cast(doc_id % 11 as int) as f,
+         cast(doc_id % 7 + 1 as int) as c
+  from docs_aug),
+ext as (
+  select *, hex(encode(s)) as hx, strlen(s) as bl,
+         {_Q56_AF} as af, {_Q56_AC} as ac
+  from src),
+ext2 as (
+  select *, (af >= 1 and af <= bl and ac >= 1 and af + ac - 1 <= bl)
+            as inr
+  from ext),
+ext3 as (
+  select *,
+    case when inr then substring(hx, (af - 1) * 2 + 1, ac * 2) end
+      as shx,
+    -- slice of valid UTF-8 is valid iff it starts and ends on codepoint
+    -- boundaries: the first slice byte and the byte AFTER the slice are
+    -- not continuation bytes (0x80-0xBF, first hex digit 8/9/A/B)
+    case when inr then
+      (substring(hx, (af - 1) * 2 + 1, 1) not in ('8','9','A','B'))
+      and (af + ac - 1 = bl
+           or substring(hx, (af + ac - 1) * 2 + 1, 1)
+              not in ('8','9','A','B'))
+    end as sval
+  from ext2)
+select doc_id, s,
+  cast(coalesce(bl, 0) as bigint) as cl,
+  cast(list_max(list_transform(string_split(s, '—'),
+                               x -> strlen(x))) as bigint) as mw,
+  cast((bl - strlen(replace(s, '日', ''))) / strlen('日') as bigint)
+    as nc,
+  shx as sub_hex,
+  cast(sval as int) as sub_valid,
+  case when sval then decode(unhex(shx)) end as sub_s,
+  cast(coalesce(inr, false) as int) as sub_ok,
+  case when sval then 1 end as sub_eq
+from ext3"""
+    )
+
+
 # --------------------------------------------------------------- registry
 
 GATE_QUERIES = {
@@ -3689,6 +3807,7 @@ GATE_QUERIES = {
     "q53_geometry_blob": q53_geometry_blob,
     "q54_media_resize": q54_media_resize,
     "q55_media_frames": q55_media_frames,
+    "q56_byte_semantics": q56_byte_semantics,
 }
 
 class _LazyOracles(dict):
@@ -3783,6 +3902,7 @@ GATE_ORACLES = _LazyOracles({
     "q53_geometry_blob": q53_oracle(),
     "q54_media_resize": q54_oracle(),
     "q55_media_frames": q55_oracle(),
+    "q56_byte_semantics": q56_oracle(),
 })
 
 

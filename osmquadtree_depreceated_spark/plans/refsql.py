@@ -13,7 +13,10 @@ standard SQL that Spark SQL will not reproduce by itself:
     constant false, and NULL input compares false
     (functions.go:309-314); ``NOT LIKE`` negates that result;
   * the quirk scalar functions substr / makeinteger / makefloat /
-    numchar / maxwidth / strreplace (functions.go:95-165,309-414).
+    numchar / maxwidth / strreplace / char_length (alias length)
+    (functions.go:95-165,309-414,401); substr / maxwidth / char_length
+    measure and slice BYTES (Go ``len``), not characters, and
+    char_length(NULL) is 0.
 
 ``rewrite_ref_sql`` turns such a query string into plain Spark SQL by
 macro-expanding the quirk functions into native expressions (everything
@@ -130,11 +133,25 @@ def _mf(args):
 
 
 def _nc(args):
+    # strings.Count occurrence count (functions.go:52-67) — identical
+    # measured in bytes or characters; byte lengths keep every macro on
+    # the reference's Go-len semantics
     s, c = args
     return (
-        f"cast((length(({s})) - length(replace(({s}), ({c}), ''))) "
-        f"/ length(({c})) as bigint)"
+        f"cast((octet_length(({s})) - octet_length(replace(({s}), ({c}), ''))) "
+        f"/ octet_length(({c})) as bigint)"
     )
+
+
+def _cl(args):
+    """charlengthFunc (functions.go:125-133), dialect names
+    ``char_length`` AND ``length`` (functions.go:401): Go ``len(s)`` =
+    BYTE length; NULL (and any non-string, which this text-level macro
+    cannot detect — documented FIXTURES.md §3) returns 0, not NULL."""
+    if len(args) != 1:
+        return "cast(null as bigint)"
+    s = args[0]
+    return f"cast(coalesce(octet_length(({s})), 0) as bigint)"
 
 
 def _mw(args):
@@ -146,16 +163,19 @@ def _mw(args):
     break the quoting — documented limit, FIXTURES.md §3)."""
     if len(args) == 1:
         s = args[0]
-        return f"array_max(transform(split(({s}), '\\n'), t -> length(t)))"
+        return (
+            f"array_max(transform(split(({s}), '\\n'), "
+            f"t -> octet_length(t)))"
+        )
     if len(args) != 2:
         return "cast(null as bigint)"
     s, sep = args
     quoted = f"concat('\\\\Q', ({sep}), '\\\\E')"
     return (
-        f"(case when ({sep}) is null or length(({sep})) = 0 "
+        f"(case when ({sep}) is null or octet_length(({sep})) = 0 "
         f"then cast(null as bigint) "
         f"else array_max(transform(split(({s}), {quoted}), "
-        f"t -> length(t))) end)"
+        f"t -> octet_length(t))) end)"
     )
 
 
@@ -167,13 +187,19 @@ def _sr(args):
 def _sub3(s, f, c):
     """substrFunc (functions.go:137-165) exactly: from=0 -> from 1 with
     count-1; NULL unless 1 <= from' <= len AND count' >= 1 AND
-    from' + count' - 1 <= len."""
+    from' + count' - 1 <= len — where len and the slice are BYTES (Go
+    ``len``/``strs[fri-1:fri+toi-1]``).  The byte slice is decoded back
+    to a string; a slice splitting a multibyte codepoint is sanitized by
+    make_valid_utf8 (U+FFFD, == Python errors='replace' — probed) where
+    the reference keeps raw invalid bytes (FIXTURES.md §3)."""
     adj_f = f"(case when ({f}) = 0 then 1 else ({f}) end)"
     adj_c = f"(case when ({f}) = 0 then ({c}) - 1 else ({c}) end)"
     return (
-        f"(case when {adj_f} >= 1 and {adj_f} <= length(({s})) "
-        f"and {adj_c} >= 1 and {adj_f} + {adj_c} - 1 <= length(({s})) "
-        f"then substring(({s}), {adj_f}, {adj_c}) else null end)"
+        f"(case when {adj_f} >= 1 and {adj_f} <= octet_length(({s})) "
+        f"and {adj_c} >= 1 "
+        f"and {adj_f} + {adj_c} - 1 <= octet_length(({s})) "
+        f"then make_valid_utf8(cast(substring(encode(({s}), 'UTF-8'), "
+        f"{adj_f}, {adj_c}) as string)) else null end)"
     )
 
 
@@ -191,6 +217,8 @@ _MACROS = (
     ("maxwidth", _mw),
     ("strreplace", _sr),
     ("substr", _substr),
+    ("char_length", _cl),
+    ("length", _cl),
 )
 
 

@@ -37,22 +37,42 @@ def ref_like(col, pattern: str) -> Column:
     return F.lit(False)
 
 
-def ref_substr(col, frm: int, count: int | None = None) -> Column:
-    """Reference substrFunc (functions.go:137-165), EXACTLY: THREE-arg
-    only (any other arity returns NULL); from=0 acts as from=1 with
-    count-1; NULL unless 1 <= from' <= len(s), count' >= 1 and
-    from' + count' - 1 <= len(s)."""
+def ref_substr_bytes(col, frm: int, count: int | None = None) -> Column:
+    """Reference substrFunc (functions.go:137-165) at BYTE parity: the
+    reference slices the raw Go byte string (``strs[fri-1:fri+toi-1]``)
+    with bounds checked against ``len(strs)`` — BYTES, not characters.
+    Returns the sliced bytes as ``binary`` (NULL on the reference's
+    out-of-range conditions), so gates can compare the exact bytes even
+    when a slice splits a UTF-8 codepoint."""
     if count is None:
-        return F.lit(None).cast("string")
+        return F.lit(None).cast("binary")
     c = F.col(col) if isinstance(col, str) else col
     if frm == 0:
         frm, count = 1, count - 1
-    ln = F.length(c)
+    ln = F.octet_length(c)
     in_range = (
         (F.lit(frm) >= 1) & (F.lit(frm) <= ln)
         & (F.lit(count) >= 1) & (F.lit(frm + count - 1) <= ln)
     )
-    return F.when(in_range, F.substring(c, frm, count)).otherwise(F.lit(None))
+    sliced = F.substring(F.encode(c, "UTF-8"), frm, count)
+    return F.when(in_range, sliced).otherwise(F.lit(None).cast("binary"))
+
+
+def ref_substr(col, frm: int, count: int | None = None) -> Column:
+    """Reference substrFunc (functions.go:137-165), EXACTLY: THREE-arg
+    only (any other arity returns NULL); from=0 acts as from=1 with
+    count-1; bounds are BYTE offsets (Go ``len``/slicing): NULL unless
+    1 <= from' <= octet_len(s), count' >= 1 and
+    from' + count' - 1 <= octet_len(s).  The byte slice is returned as a
+    string; a slice that splits a multibyte codepoint is sanitized with
+    ``make_valid_utf8`` (U+FFFD substitution, identical to Python's
+    ``errors='replace'`` — probed) where the reference keeps the raw
+    invalid bytes Spark strings cannot hold (FIXTURES.md §3); use
+    ``ref_substr_bytes`` for exact-byte comparisons."""
+    if count is None:
+        return F.lit(None).cast("string")
+    raw = ref_substr_bytes(col, frm, count)
+    return F.make_valid_utf8(raw.cast("string"))
 
 
 def make_integer(col: str) -> Column:
@@ -74,28 +94,39 @@ def make_float(col: str) -> Column:
     )
 
 
+def ref_charlength(col) -> Column:
+    """Reference charlengthFunc (functions.go:125-133), exposed in the
+    dialect as both ``char_length`` and ``length`` (functions.go:401):
+    Go ``len(s)`` = BYTE length, and any non-STRING input — including
+    NULL — returns 0, not NULL."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(F.octet_length(c), F.lit(0)).cast("long")
+
+
 def numchar(col, ch: str) -> Column:
-    """Count occurrences of `ch` (functions.go:52-67)."""
+    """Count non-overlapping occurrences of `ch` (functions.go:52-67,
+    strings.Count).  Counted via byte lengths (occurrence count is the
+    same in bytes or characters for valid UTF-8 needles)."""
     c = F.col(col) if isinstance(col, str) else col
     return (
-        (F.length(c) - F.length(F.replace(c, F.lit(ch), F.lit(""))))
-        / F.lit(len(ch))
+        (F.octet_length(c) - F.octet_length(F.replace(c, F.lit(ch), F.lit(""))))
+        / F.lit(len(ch.encode("utf-8")))
     ).cast("long")
 
 
 def maxwidth(col, sep: str = "\n") -> Column:
-    """Longest split-segment length (functions.go:69-93).  The reference
-    accepts a custom separator as the optional second argument and
-    returns NULL for an empty separator (functions.go:76-83); the
-    separator is split LITERALLY (strings.Split), hence the re.escape
-    before Spark's regex split."""
+    """Longest split-segment BYTE length (functions.go:69-93 measures
+    segments with Go ``len``).  The reference accepts a custom separator
+    as the optional second argument and returns NULL for an empty
+    separator (functions.go:76-83); the separator is split LITERALLY
+    (strings.Split), hence the re.escape before Spark's regex split."""
     import re as _re
 
     c = F.col(col) if isinstance(col, str) else col
     if not sep:
         return F.lit(None).cast("long")
     return F.array_max(
-        F.transform(F.split(c, _re.escape(sep)), lambda s: F.length(s))
+        F.transform(F.split(c, _re.escape(sep)), lambda s: F.octet_length(s))
     )
 
 

@@ -151,6 +151,36 @@ class TestSqlCompat:
         assert got[0]["mi"] == 0 and got[1]["mi"] == 34  # parse-or-0
         assert got[0]["nc"] == 1
 
+    def test_byte_semantics_multibyte(self, spark):
+        # the reference measures/slices Go BYTES (functions.go:69-165):
+        # 日本語 = 9 bytes / 3 chars, é = 2 bytes, 😀 = 4 bytes
+        from osmquadtree_depreceated_spark.plans.sqlcompat import (
+            maxwidth,
+            ref_charlength,
+            ref_substr_bytes,
+        )
+
+        df = spark.createDataFrame(
+            [("日本語",), ("héllo",), (None,)], "s string"
+        )
+        got = df.select(
+            ref_charlength("s").alias("cl"),
+            ref_substr("s", 1, 3).alias("s13"),
+            ref_substr("s", 1, 4).alias("s14"),
+            F.hex(ref_substr_bytes("s", 1, 4)).alias("b14"),
+            ref_substr("s", 1, 99).alias("over"),
+            maxwidth(F.col("s"), "本").alias("mw"),
+        ).collect()
+        jp, he, nu = got
+        assert jp["cl"] == 9 and he["cl"] == 6
+        assert nu["cl"] == 0  # charlengthFunc: non-STRING (NULL) -> 0
+        assert jp["s13"] == "日"  # 3-byte slice = first codepoint
+        assert jp["s14"] == "日�"  # split codepoint sanitized
+        assert jp["b14"] == "E697A5E6"  # ...but exact bytes exposed
+        assert jp["over"] is None  # byte-bounds overflow -> NULL
+        assert he["s14"] == "hél"  # 4 bytes = 3 chars here
+        assert jp["mw"] == 3 and he["mw"] == 6  # byte segment widths
+
     def test_geometry_views(self, spark):
         lines = spark.createDataFrame(
             [(7, 12, 0.0, 123456789, {"highway": "primary", "name": "x"})],

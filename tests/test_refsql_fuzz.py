@@ -57,6 +57,13 @@ ROWS = [
     (10, "e5", "5e"),
     (11, "%", "::9"),
     (12, "a.b.c", "-0"),
+    # multibyte rows: the reference measures/slices Go BYTES — these
+    # make the byte-vs-character distinction value-affecting in every
+    # quirk (substr bounds + codepoint-splitting slices, maxwidth
+    # segment widths, char_length)
+    (13, "日本語", "5"),
+    (14, "é—日—x", "日"),
+    (15, "a😀b", "ß"),
 ]
 
 
@@ -104,13 +111,18 @@ def _ev(node, row):
     if kind == "nc":
         v = _ev(node[1], row)
         return None if v is None else v.count(node[2])
+    if kind == "cl":
+        # charlengthFunc: Go len = BYTES; NULL input -> 0
+        v = _ev(node[1], row)
+        return 0 if v is None else len(v.encode("utf-8"))
     if kind == "mw":
         v, sep = _ev(node[1], row), node[2]
         if sep is None:  # 1-arg form: '\n'
             sep = "\n"
         if v is None or sep == "":
             return None
-        return max(len(t) for t in v.split(sep))
+        # maxwidthFunc measures segments with Go len = BYTES
+        return max(len(t.encode("utf-8")) for t in v.split(sep))
     if kind == "sr":
         v = _ev(node[1], row)
         return None if v is None else v.replace(node[2], node[3])
@@ -120,8 +132,12 @@ def _ev(node, row):
             return None
         if f == 0:
             f, c = 1, c - 1
-        if 1 <= f <= len(v) and c >= 1 and f + c - 1 <= len(v):
-            return v[f - 1:f - 1 + c]
+        # substrFunc bounds-checks and slices BYTES; a slice that splits
+        # a codepoint is sanitized U+FFFD on the engine side
+        # (make_valid_utf8 == Python errors='replace', probed)
+        b = v.encode("utf-8")
+        if 1 <= f <= len(b) and c >= 1 and f + c - 1 <= len(b):
+            return b[f - 1:f - 1 + c].decode("utf-8", errors="replace")
         return None
     if kind == "like":
         v, pat, neg = _ev(node[1], row), node[2], node[3]
@@ -169,6 +185,9 @@ def _render(node, rng: random.Random) -> str:
     if kind == "nc":
         return (f"{fname('numchar')}({_render(node[1], rng)},{ws()}"
                 f"{_q(node[2])})")
+    if kind == "cl":
+        n = rng.choice(["char_length", "length"])
+        return f"{fname(n)}{ws()}({_render(node[1], rng)})"
     if kind == "mw":
         if node[2] is None:
             return f"{fname('maxwidth')}({_render(node[1], rng)})"
@@ -199,8 +218,8 @@ def _render(node, rng: random.Random) -> str:
 
 # --------------------------------------------------------- strategies
 
-_LIT_TXT = st.text(alphabet="ab5.0:%_e' -\n,", max_size=8)
-_SEP_TXT = st.text(alphabet="ab,.;%", min_size=1, max_size=3)
+_LIT_TXT = st.text(alphabet="ab5.0:%_e' -\n,é日😀", max_size=8)
+_SEP_TXT = st.text(alphabet="ab,.;%日—", min_size=1, max_size=3)
 _PAT_TXT = st.one_of(
     st.text(alphabet="ab%_5", max_size=6),
     st.builds(lambda s: s + "%", st.text(alphabet="ab_5'", max_size=4)),
@@ -225,8 +244,10 @@ _NUM_NODE = st.one_of(
     st.builds(lambda s: ("mi", s), _STR_NODE),
     st.builds(lambda s: ("mf", s), _STR_NODE),
     st.builds(lambda s, c: ("nc", s, c), _STR_NODE, _SEP_TXT),
+    st.builds(lambda s: ("cl", s), _STR_NODE),
     st.builds(lambda s, sep: ("mw", s, sep), _STR_NODE,
-              st.sampled_from([None, "\n", ",", ".", ";;", "a", ""])),
+              st.sampled_from([None, "\n", ",", ".", ";;", "a", "",
+                               "—", "日"])),
 )
 _PRED_NODE = st.builds(lambda s, p, n: ("like", s, p, n),
                        _STR_NODE, _PAT_TXT, st.booleans())
@@ -271,7 +292,7 @@ def _ev_mwc(node, row):
     v, sep = _ev(node[1], row), row[node[2]]
     if v is None or sep is None or sep == "":
         return None
-    return max(len(t) for t in v.split(sep))
+    return max(len(t.encode("utf-8")) for t in v.split(sep))
 
 
 @given(nodes=st.lists(_MWC_NODE, min_size=1, max_size=4),
