@@ -55,8 +55,13 @@ def _mask_strings(sql: str) -> tuple[str, list[str]]:
 
 
 def _unmask(sql: str, found: list[str]) -> str:
+    """Re-emit the masked literals as SPARK literals: the reference
+    lexer reads quoted strings RAW (altlex.go:225-238, no escape
+    processing at all), but Spark's parser treats backslash as an
+    escape — so every backslash is doubled to keep the runtime value
+    byte-identical to the reference's."""
     for i, s in enumerate(found):
-        sql = sql.replace(f"\x00{i}\x00", s)
+        sql = sql.replace(f"\x00{i}\x00", s.replace("\\", "\\\\"))
     return sql
 
 
@@ -135,11 +140,15 @@ def _mf(args):
 def _nc(args):
     # strings.Count occurrence count (functions.go:52-67) — identical
     # measured in bytes or characters; byte lengths keep every macro on
-    # the reference's Go-len semantics
+    # the reference's Go-len semantics.  Empty needle is strings.Count's
+    # degenerate case: RUNE count + 1 (character_length dodges the
+    # length-macro rescan; its `_` prefix fails the \b lookbehind).
     s, c = args
     return (
-        f"cast((octet_length(({s})) - octet_length(replace(({s}), ({c}), ''))) "
-        f"/ octet_length(({c})) as bigint)"
+        f"cast(case when octet_length(({c})) = 0 "
+        f"then character_length(({s})) + 1 "
+        f"else (octet_length(({s})) - octet_length(replace(({s}), ({c}), "
+        f"''))) / octet_length(({c})) end as bigint)"
     )
 
 
@@ -159,8 +168,10 @@ def _mw(args):
     (custom separator expression); any other arity -> NULL, and an empty
     or NULL separator -> NULL.  The separator is a LITERAL string in the
     reference (strings.Split), so the regex-split operand is \\Q..\\E
-    quoted (a separator containing the two-char sequence '\\E' would
-    break the quoting — documented limit, FIXTURES.md §3)."""
+    quoted with java.util.regex.Pattern.quote's chunking — every
+    embedded '\\E' is rewritten to '\\E\\\\E\\Q' (end quote, escaped
+    literal backslash+E, reopen quote) so ANY separator value splits
+    literally."""
     if len(args) == 1:
         s = args[0]
         return (
@@ -170,7 +181,10 @@ def _mw(args):
     if len(args) != 2:
         return "cast(null as bigint)"
     s, sep = args
-    quoted = f"concat('\\\\Q', ({sep}), '\\\\E')"
+    quoted = (
+        f"concat('\\\\Q', replace(({sep}), '\\\\E', "
+        f"'\\\\E\\\\\\\\E\\\\Q'), '\\\\E')"
+    )
     return (
         f"(case when ({sep}) is null or octet_length(({sep})) = 0 "
         f"then cast(null as bigint) "
@@ -289,8 +303,16 @@ def _rewrite_like(masked: str, strings: list[str]) -> str:
         lo = _operand_span(out, op_end)
         operand = out[lo:op_end].strip()
         if pat.endswith("%"):
-            pfx = pat[:-1].replace("'", "''")
-            base = f"coalesce(startswith(({operand}), '{pfx}'), false)"
+            # emit the prefix as a fresh MASKED literal: the macro scan
+            # runs after this rewrite, and a raw in-place literal whose
+            # content mentions a macro name (e.g. pattern "substr(x%")
+            # would be mis-parsed as a call; _unmask applies the Spark
+            # escaping uniformly at the end
+            idx = len(strings)
+            strings.append("'" + pat[:-1].replace("'", "''") + "'")
+            base = (
+                f"coalesce(startswith(({operand}), \x00{idx}\x00), false)"
+            )
         else:
             base = f"(false and ({operand}) is not null)"
         repl = f"(not {base})" if negated else base

@@ -106,8 +106,11 @@ def ref_charlength(col) -> Column:
 def numchar(col, ch: str) -> Column:
     """Count non-overlapping occurrences of `ch` (functions.go:52-67,
     strings.Count).  Counted via byte lengths (occurrence count is the
-    same in bytes or characters for valid UTF-8 needles)."""
+    same in bytes or characters for valid UTF-8 needles).  An EMPTY
+    needle is Go strings.Count's degenerate case: rune count + 1."""
     c = F.col(col) if isinstance(col, str) else col
+    if not ch:
+        return (F.length(c) + F.lit(1)).cast("long")
     return (
         (F.octet_length(c) - F.octet_length(F.replace(c, F.lit(ch), F.lit(""))))
         / F.lit(len(ch.encode("utf-8")))

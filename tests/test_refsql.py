@@ -45,6 +45,14 @@ def test_like_is_literal_prefix_or_false():
     assert "(false and (name) is not null)" in dead
     dead2 = rewrite_ref_sql("select * from t where f(x, 1) like 'a_b'")
     assert "(false and (f(x, 1)) is not null)" in dead2
+    # a prefix whose content LOOKS like a macro call must stay a literal
+    # (the emitted prefix is re-masked so the macro scan never sees it)
+    trap = rewrite_ref_sql("select name like 'substr(x%' as a from t")
+    assert "startswith((name), 'substr(x')" in trap
+    # backslashes in reference literals are RAW (altlex.go:225-238);
+    # the Spark re-emission doubles them so the runtime value matches
+    bs = rewrite_ref_sql("select name like 'a\\b%' as b from t")
+    assert "startswith((name), 'a\\\\b')" in bs
 
 
 def test_not_like():

@@ -64,6 +64,9 @@ ROWS = [
     (13, "日本語", "5"),
     (14, "é—日—x", "日"),
     (15, "a😀b", "ß"),
+    # \E content: the maxwidth separator quoting must survive a
+    # separator (or haystack) containing the regex-quote terminator
+    (16, "a\\Eb\\Ecc", "\\E"),
 ]
 
 
@@ -218,11 +221,11 @@ def _render(node, rng: random.Random) -> str:
 
 # --------------------------------------------------------- strategies
 
-_LIT_TXT = st.text(alphabet="ab5.0:%_e' -\n,é日😀", max_size=8)
-_SEP_TXT = st.text(alphabet="ab,.;%日—", min_size=1, max_size=3)
+_LIT_TXT = st.text(alphabet="ab5.0:%_e' -\n,é日😀\\", max_size=8)
+_SEP_TXT = st.text(alphabet="ab,.;%日—\\E", min_size=1, max_size=3)
 _PAT_TXT = st.one_of(
-    st.text(alphabet="ab%_5", max_size=6),
-    st.builds(lambda s: s + "%", st.text(alphabet="ab_5'", max_size=4)),
+    st.text(alphabet="ab%_5\\", max_size=6),
+    st.builds(lambda s: s + "%", st.text(alphabet="ab_5'\\n", max_size=4)),
 )
 
 _STR_LEAF = st.one_of(
@@ -243,7 +246,9 @@ _NUM_NODE = st.one_of(
     st.builds(lambda n: ("num", n), st.integers(-9, 99)),
     st.builds(lambda s: ("mi", s), _STR_NODE),
     st.builds(lambda s: ("mf", s), _STR_NODE),
-    st.builds(lambda s, c: ("nc", s, c), _STR_NODE, _SEP_TXT),
+    # empty needle included: strings.Count('', ...) = rune count + 1
+    st.builds(lambda s, c: ("nc", s, c), _STR_NODE,
+              st.one_of(st.just(""), _SEP_TXT)),
     st.builds(lambda s: ("cl", s), _STR_NODE),
     st.builds(lambda s, sep: ("mw", s, sep), _STR_NODE,
               st.sampled_from([None, "\n", ",", ".", ";;", "a", "",
