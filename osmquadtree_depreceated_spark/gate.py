@@ -3631,6 +3631,79 @@ from nodes"""
     )
 
 
+# q57: the CUSTOM STATEFUL streaming operator (applyInPandasWithState)
+# gated against a full value oracle.  stream_latest_version is the
+# STREAMING filterLastObj (update.go:69-110): per-key state carries the
+# newest (seq, change_type, val) tuple across micro-batches.  The gate
+# stages the q13 change feed as FOUR parquet files consumed one per
+# micro-batch (maxFilesPerTrigger=1), so most keys span batches and the
+# cross-batch state path is load-bearing; emissions are monotone in the
+# tuple order, so the newest emission per key IS the final state, which
+# must equal the batch answer regardless of arrival order.  Oracle: the
+# same max-tuple-per-key in pure SQL over the same change derivation.
+
+def q57_streaming_stateful(spark, sf_dir) -> DataFrame:
+    """Streaming filterLastObj via the custom stateful operator, run as
+    a real multi-micro-batch Structured Streaming query (file stream ->
+    applyInPandasWithState -> memory sink, update mode)."""
+    _prep(spark, sf_dir)
+    import os
+    import uuid
+
+    from pyspark.sql.window import Window
+
+    from .streaming.changes import stream_latest_version
+
+    tag = uuid.uuid5(uuid.NAMESPACE_URL, sf_dir).hex[:8]
+    feed = _gate_work_dir(spark, f"stream_changes_{tag}")
+    if not os.path.isdir(feed) or not any(
+        f.endswith(".parquet") for f in os.listdir(feed)
+    ):
+        # 4 part files = 4 micro-batches; hash-split on seq so a key's
+        # versions arrive scattered across batches
+        spark.sql(_CHANGES_SQL).repartition(4, "seq").write.mode(
+            "overwrite"
+        ).parquet(feed)
+    stream = spark.readStream.schema(
+        "key long, seq long, change_type string, val double"
+    ).option("maxFilesPerTrigger", 1).parquet(feed)
+    qname = f"q57_latest_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_latest_version(stream)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(feed, "_ckpt",
+                                                   qname))
+        .trigger(availableNow=True).start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "q57 stateful stream did not finish within 600s — refusing "
+            "to hash a partially-filled memory sink"
+        )
+    w = Window.partitionBy("key").orderBy(
+        F.desc("seq"), F.desc("change_type"), F.desc("val")
+    )
+    return (
+        spark.table(qname)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "seq", "change_type", "val")
+    )
+
+
+def q57_oracle() -> str:
+    return f"""
+select key, seq, change_type, val from (
+  select key, seq, change_type, val,
+         row_number() over (partition by key
+                            order by seq desc, change_type desc,
+                                     val desc) as rn
+  from ({_CHANGES_SQL})
+) where rn = 1"""
+
+
 # q56: BYTE semantics of the reference's string quirks over MULTIBYTE
 # input.  The reference measures and slices Go BYTE strings —
 # charlengthFunc/maxwidthFunc use ``len(s)`` and substrFunc slices
@@ -3808,6 +3881,7 @@ GATE_QUERIES = {
     "q54_media_resize": q54_media_resize,
     "q55_media_frames": q55_media_frames,
     "q56_byte_semantics": q56_byte_semantics,
+    "q57_streaming_stateful": q57_streaming_stateful,
 }
 
 class _LazyOracles(dict):
@@ -3903,6 +3977,7 @@ GATE_ORACLES = _LazyOracles({
     "q54_media_resize": q54_oracle(),
     "q55_media_frames": q55_oracle(),
     "q56_byte_semantics": q56_oracle(),
+    "q57_streaming_stateful": q57_oracle(),
 })
 
 
