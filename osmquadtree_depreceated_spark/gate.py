@@ -3704,6 +3704,104 @@ select key, seq, change_type, val from (
 ) where rn = 1"""
 
 
+# q58: the PER-PARTITION LINEAGE ROWS themselves (plans/lineage.py) —
+# the north rule's "resumable from checkpoint with per-partition lineage
+# + metrics".  q50 verifies the snapshot DATA round-trip; this gate
+# verifies the recorded METADATA: per-stage totals and cell ranges as
+# derived FROM THE LINEAGE ROWS must equal the independent DuckDB
+# descent oracles (q03/q04/q05), and the per-partition checksum path is
+# verified in-gate by an independent recompute over the stored parquet
+# (sorted-by-partition exact equality, raising on any mismatch).
+
+def q58_lineage_rows(spark, sf_dir) -> DataFrame:
+    """Value-verify the snapshot store's lineage metadata: stage-level
+    row counts + cell ranges folded from the recorded per-partition
+    lineage rows vs the q03-q05 oracles; per-partition (cell_min,
+    cell_max, row_count, checksum) re-derived independently from the
+    committed parquet and asserted equal to what `write` recorded."""
+    _prep(spark, sf_dir)
+    import hashlib as _hl
+
+    from .plans.lineage import SnapshotStore, calcqts_pipeline
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    # same store key as q50: whichever gate runs first builds the
+    # snapshots, the other resumes from the committed stages
+    store = SnapshotStore(_gate_work_dir(spark, f"snapshots_{tag}"))
+    members = spark.table("rels").select(
+        "rel_id", F.lit("w").alias("mtype"),
+        F.col("member_way").alias("ref"),
+    )
+    calcqts_pipeline(
+        spark, store, spark.table("nodes"), spark.table("way_refs"),
+        rel_members=members,
+    )
+    summary = []
+    for stage in ("way_cells", "node_cells", "rel_cells"):
+        snap = store.manifest(stage)["snapshot_id"]
+        recorded = sorted(
+            (r for r in store.lineage_rows(stage)
+             if r["snapshot_id"] == snap),
+            key=lambda r: r["partition_id"],
+        )
+        written = store.read(spark, stage)
+        recomputed = sorted(
+            (
+                written.withColumn("_pid", F.spark_partition_id())
+                .groupBy("_pid")
+                .agg(
+                    F.min("cell").alias("cell_min"),
+                    F.max("cell").alias("cell_max"),
+                    F.count(F.lit(1)).alias("row_count"),
+                    F.sum(F.pmod(F.xxhash64(*written.columns),
+                                 F.lit(4294967296))).alias("checksum"),
+                )
+            ).collect(),
+            key=lambda r: r["_pid"],
+        )
+        got = [
+            (r["_pid"], r["cell_min"], r["cell_max"], r["row_count"],
+             r["checksum"])
+            for r in recomputed
+        ]
+        want = [
+            (r["partition_id"], r["cell_min"], r["cell_max"],
+             r["row_count"], r["checksum"])
+            for r in recorded
+        ]
+        if got != want:
+            raise AssertionError(
+                f"q58: lineage rows for stage {stage} diverge from the "
+                f"independent recompute: recorded={want} got={got}"
+            )
+        summary.append((
+            stage,
+            sum(r["row_count"] for r in recorded),
+            min(r["cell_min"] for r in recorded
+                if r["cell_min"] is not None),
+            max(r["cell_max"] for r in recorded
+                if r["cell_max"] is not None),
+        ))
+    return spark.createDataFrame(
+        summary, "stage string, n_rows long, cell_lo long, cell_hi long"
+    )
+
+
+def q58_oracle() -> str:
+    return f"""
+select 'way_cells' as stage, count(*) as n_rows,
+       min(cell) as cell_lo, max(cell) as cell_hi
+from ({q03_oracle()})
+union all
+select 'node_cells' as stage, count(*) as n_rows,
+       min(cell) as cell_lo, max(cell) as cell_hi
+from ({q04_oracle()})
+union all
+select 'rel_cells' as stage, count(*) as n_rows,
+       min(cell) as cell_lo, max(cell) as cell_hi
+from ({q05_oracle()})"""
+
+
 # q56: BYTE semantics of the reference's string quirks over MULTIBYTE
 # input.  The reference measures and slices Go BYTE strings —
 # charlengthFunc/maxwidthFunc use ``len(s)`` and substrFunc slices
@@ -3882,6 +3980,7 @@ GATE_QUERIES = {
     "q55_media_frames": q55_media_frames,
     "q56_byte_semantics": q56_byte_semantics,
     "q57_streaming_stateful": q57_streaming_stateful,
+    "q58_lineage_rows": q58_lineage_rows,
 }
 
 class _LazyOracles(dict):
@@ -3978,6 +4077,7 @@ GATE_ORACLES = _LazyOracles({
     "q55_media_frames": q55_oracle(),
     "q56_byte_semantics": q56_oracle(),
     "q57_streaming_stateful": q57_oracle(),
+    "q58_lineage_rows": q58_oracle,  # lazy-ish: composes q03-q05
 })
 
 
