@@ -410,13 +410,19 @@ def main():
             headline_eff = best["eff"]
             evidence_kind = "stable-physical-pair"
         else:
-            # No physical stable window this run: fall back to the least
-            # optimistic defensible number and SAY SO — a non-physical
-            # window must never be laundered into the headline.
+            # No stable-physical window this run: fall back to the least
+            # optimistic defensible number and SAY SO — naming the actual
+            # disqualifier (an unstable-but-physical window is bracket
+            # noise, not super-linearity; a non-physical window must never
+            # be laundered into the headline either way).
             valid = [p for p in pairs if p["stable"]] or pairs
             best = max(valid, key=lambda p: p["eff"])
             headline_eff = min(best["eff"], eff_bestlevels, 1.0)
-            evidence_kind = "non-physical-window (non-evidence; see " \
+            disqualifier = (
+                "non-physical-window" if not best["physical"]
+                else "unstable-window"
+            )
+            evidence_kind = f"{disqualifier} (non-evidence; see " \
                             "BENCH/BASELINE.md for last physical pair)"
         results["queries"]["scaling_low_cpus"] = SCALE_LOW
         results["queries"]["scaling_high_cpus"] = SCALE_HIGH
@@ -529,9 +535,12 @@ def _update_history(pairs: list, evidence_kind: str) -> dict | None:
     os.makedirs("BENCH", exist_ok=True)
     with open(path, "w") as f:
         json.dump(hist, f, indent=1)
+    # the protocol key must include amplify: a light amplify=1 pair is a
+    # different workload and must not stand in for the amplify=32 one
     protocol = [h for h in hist
-                if (h.get("low_cpus"), h.get("high_cpus"), h.get("sf"))
-                == (SCALE_LOW, SCALE_HIGH, SF_DIR)]
+                if (h.get("low_cpus"), h.get("high_cpus"), h.get("sf"),
+                    h.get("amplify"))
+                == (SCALE_LOW, SCALE_HIGH, SF_DIR, AMPLIFY)]
     return max(protocol, key=lambda h: h["eff"]) if protocol else None
 
 

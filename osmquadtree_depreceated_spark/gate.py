@@ -3636,16 +3636,21 @@ from nodes"""
 # STREAMING filterLastObj (update.go:69-110): per-key state carries the
 # newest (seq, change_type, val) tuple across micro-batches.  The gate
 # stages the q13 change feed as FOUR parquet files consumed one per
-# micro-batch (maxFilesPerTrigger=1), so most keys span batches and the
-# cross-batch state path is load-bearing; emissions are monotone in the
-# tuple order, so the newest emission per key IS the final state, which
-# must equal the batch answer regardless of arrival order.  Oracle: the
-# same max-tuple-per-key in pure SQL over the same change derivation.
+# micro-batch (maxFilesPerTrigger=1), so most keys span batches, and the
+# sink records batch_id per emission (foreachBatch -> per-batch parquet).
+# The gate answer is each key's FINAL emission (max batch_id) — which
+# equals the global max-tuple only if state actually carried across
+# batches (a stateless per-batch max would return the last batch's local
+# max and diverge).  A state-carry witness is also asserted in-gate: the
+# same (key, seq, change_type, val) emission under two distinct
+# batch_ids is impossible statelessly, because repartition puts any
+# given input row in exactly one feed file.
 
 def q57_streaming_stateful(spark, sf_dir) -> DataFrame:
     """Streaming filterLastObj via the custom stateful operator, run as
     a real multi-micro-batch Structured Streaming query (file stream ->
-    applyInPandasWithState -> memory sink, update mode)."""
+    applyInPandasWithState -> foreachBatch parquet sink, update mode);
+    result = final emission per key, which is state-path load-bearing."""
     _prep(spark, sf_dir)
     import os
     import uuid
@@ -3668,9 +3673,17 @@ def q57_streaming_stateful(spark, sf_dir) -> DataFrame:
         "key long, seq long, change_type string, val double"
     ).option("maxFilesPerTrigger", 1).parquet(feed)
     qname = f"q57_latest_{uuid.uuid4().hex[:8]}"
+    sink_dir = os.path.join(feed, "_sink", qname)
+
+    def _emit(batch_df, batch_id):
+        # idempotent on batch retry: one overwritten subdir per batch
+        batch_df.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(sink_dir, f"b{batch_id}"))
+
     q = (
         stream_latest_version(stream)
-        .writeStream.format("memory").queryName(qname)
+        .writeStream.foreachBatch(_emit)
         .outputMode("update")
         .option("checkpointLocation", os.path.join(feed, "_ckpt",
                                                    qname))
@@ -3680,13 +3693,32 @@ def q57_streaming_stateful(spark, sf_dir) -> DataFrame:
         q.stop()
         raise TimeoutError(
             "q57 stateful stream did not finish within 600s — refusing "
-            "to hash a partially-filled memory sink"
+            "to hash a partially-filled sink"
         )
-    w = Window.partitionBy("key").orderBy(
-        F.desc("seq"), F.desc("change_type"), F.desc("val")
+    emitted = spark.read.parquet(os.path.join(sink_dir, "b*"))
+    n_batches = emitted.select("batch_id").distinct().count()
+    if n_batches < 2:
+        raise AssertionError(
+            f"q57: expected a multi-micro-batch run, got {n_batches} "
+            "batch(es) — the stream did not exercise cross-batch state"
+        )
+    # state-carry witness: an identical emission tuple under >=2 distinct
+    # batch_ids can only come from carried state (each input row lives in
+    # exactly one feed file, so a stateless op cannot re-derive it)
+    carried = (
+        emitted.groupBy("key", "seq", "change_type", "val")
+        .agg(F.countDistinct("batch_id").alias("nb"))
+        .filter(F.col("nb") >= 2)
+        .count()
     )
+    if carried == 0:
+        raise AssertionError(
+            "q57: no emission tuple repeated across batches — the "
+            "cross-batch state path was not observed to carry"
+        )
+    w = Window.partitionBy("key").orderBy(F.desc("batch_id"))
     return (
-        spark.table(qname)
+        emitted
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("key", "seq", "change_type", "val")
@@ -3722,7 +3754,9 @@ def q58_lineage_rows(spark, sf_dir) -> DataFrame:
     _prep(spark, sf_dir)
     import hashlib as _hl
 
-    from .plans.lineage import SnapshotStore, calcqts_pipeline
+    from .plans.lineage import (
+        SnapshotStore, calcqts_pipeline, partition_lineage,
+    )
 
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
     # same store key as q50: whichever gate runs first builds the
@@ -3744,19 +3778,11 @@ def q58_lineage_rows(spark, sf_dir) -> DataFrame:
              if r["snapshot_id"] == snap),
             key=lambda r: r["partition_id"],
         )
-        written = store.read(spark, stage)
+        # the independence is recompute-from-the-stored-parquet vs
+        # recorded-at-write-time (catches torn/partial writes); the
+        # formula itself is the shared single definition
         recomputed = sorted(
-            (
-                written.withColumn("_pid", F.spark_partition_id())
-                .groupBy("_pid")
-                .agg(
-                    F.min("cell").alias("cell_min"),
-                    F.max("cell").alias("cell_max"),
-                    F.count(F.lit(1)).alias("row_count"),
-                    F.sum(F.pmod(F.xxhash64(*written.columns),
-                                 F.lit(4294967296))).alias("checksum"),
-                )
-            ).collect(),
+            partition_lineage(store.read(spark, stage)),
             key=lambda r: r["_pid"],
         )
         got = [

@@ -57,7 +57,11 @@ def calc_update_tiles(nodes: DataFrame, way_refs: DataFrame,
 
     node_changes: (node_id, seq, change_type in delete/modify/create, lon,
     lat).  Returns dict(nodes, way_cells, node_cells, affected_ways,
-    affected_nodes, affected_tiles).  With `store`, the merged cell tables
+    affected_nodes, affected_tiles, missing_refs) — missing_refs is the
+    LAZY anti-join DataFrame of affected-way members with no location
+    after the merge (count it to get the reference's guard number; it is
+    only counted internally when missing_node_cap is set).  With
+    `store`, the merged cell tables
     commit as snapshot stages way_cells@{batch_id} / node_cells@{batch_id}
     (resumable; plans/lineage.py).
     """
@@ -95,24 +99,27 @@ def calc_update_tiles(nodes: DataFrame, way_refs: DataFrame,
     # Missing-node accounting (update.go:425-437): the reference logs
     # every way member whose location is absent after the merge and
     # PANICS at 100 — a corruption guard on the location cache.  The
-    # distributed analogue is one anti-join COUNT over the affected
-    # subset only (O(changed), not O(base)), surfaced in the result and
-    # enforced when a cap is given.  Cap defaults to None because
-    # legitimately deleting a still-referenced node also counts as
-    # missing (in the reference too) and synthetic fixtures do that
-    # freely; production runs against a trusted cache pass cap=100.
-    missing_refs = (
-        aff_refs.join(merged_nodes, aff_refs["ref"]
-                      == merged_nodes["node_id"], "left_anti")
-        .count()
+    # distributed analogue is an anti-join over the affected subset only
+    # (O(changed), not O(base)), returned LAZILY as the `missing_refs`
+    # DataFrame — no extra Spark action unless a cap is enforced or the
+    # caller counts it.  Cap defaults to None because legitimately
+    # deleting a still-referenced node also counts as missing (in the
+    # reference too) and synthetic fixtures do that freely; production
+    # runs against a trusted cache pass cap=100.
+    missing_refs = aff_refs.join(
+        merged_nodes, aff_refs["ref"] == merged_nodes["node_id"],
+        "left_anti",
     )
-    if missing_node_cap is not None and missing_refs >= missing_node_cap:
-        raise RuntimeError(
-            f"too many missing nodes: {missing_refs} affected-way members "
-            f"have no location after the merge (cap {missing_node_cap}; "
-            "reference panics at 100, update.go:432-437) — location "
-            "cache and change feed disagree"
-        )
+    if missing_node_cap is not None:
+        n_missing = missing_refs.count()
+        if n_missing >= missing_node_cap:
+            raise RuntimeError(
+                f"too many missing nodes: {n_missing} affected-way "
+                f"members have no location after the merge (cap "
+                f"{missing_node_cap}; reference panics at 100, "
+                "update.go:432-437) — location cache and change feed "
+                "disagree"
+            )
     new_wc = _way_cells(
         way_bboxes(aff_refs, merged_nodes, salt_buckets=0),
         buffer, max_level,

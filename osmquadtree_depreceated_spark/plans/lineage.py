@@ -27,6 +27,34 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+def partition_lineage(df: DataFrame, cell_col: str | None = "cell") -> list:
+    """Per-partition lineage aggregation — the ONE definition of the
+    recorded metadata: (partition_id, cell_min, cell_max, row_count,
+    checksum).  checksum folds per-row xxhash64 to 32 bits before an
+    order-insensitive sum so the aggregate cannot overflow int64 under
+    ANSI mode.  Used by SnapshotStore.write at record time and by the
+    q58 gate's independent recompute over the stored parquet."""
+    cell_min = (
+        F.min(cell_col) if cell_col and cell_col in df.columns
+        else F.lit(None).cast("long")
+    )
+    cell_max = (
+        F.max(cell_col) if cell_col and cell_col in df.columns
+        else F.lit(None).cast("long")
+    )
+    return (
+        df.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(
+            cell_min.alias("cell_min"),
+            cell_max.alias("cell_max"),
+            F.count(F.lit(1)).alias("row_count"),
+            F.sum(F.pmod(F.xxhash64(*df.columns),
+                         F.lit(4294967296))).alias("checksum"),
+        )
+    ).collect()
+
+
 class SnapshotStore:
     def __init__(self, root: str):
         self.root = root
@@ -60,27 +88,7 @@ class SnapshotStore:
         df.write.mode("overwrite").parquet(data_dir)
         written = spark.read.parquet(data_dir)
 
-        cell_min = (
-            F.min(cell_col) if cell_col and cell_col in written.columns
-            else F.lit(None).cast("long")
-        )
-        cell_max = (
-            F.max(cell_col) if cell_col and cell_col in written.columns
-            else F.lit(None).cast("long")
-        )
-        lineage = (
-            written.withColumn("_pid", F.spark_partition_id())
-            .groupBy("_pid")
-            .agg(
-                cell_min.alias("cell_min"),
-                cell_max.alias("cell_max"),
-                F.count(F.lit(1)).alias("row_count"),
-                # per-row hash folded to 32 bits before the order-insensitive
-                # sum so the aggregate cannot overflow int64 under ANSI mode
-                F.sum(F.pmod(F.xxhash64(*written.columns),
-                             F.lit(4294967296))).alias("checksum"),
-            )
-        ).collect()
+        lineage = partition_lineage(written, cell_col)
 
         snapshot_id = int(time.time() * 1000)
         wall_ms = int((time.time() - t0) * 1000)

@@ -276,7 +276,8 @@ def test_missing_node_cap(spark):
         ["node_id", "seq", "change_type", "lon", "lat"],
     )
     out = calc_update_tiles(nodes, way_refs, wc, nc, changes)
-    assert out["missing_refs"] == 1
+    # missing_refs is returned lazily (no Spark action unless counted)
+    assert out["missing_refs"].count() == 1
     with pytest.raises(RuntimeError, match="missing nodes"):
         calc_update_tiles(nodes, way_refs, wc, nc, changes,
                           missing_node_cap=1)
