@@ -86,7 +86,11 @@ def _session(cpus: int):
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", "16g")
     )
-    return b.getOrCreate()
+    s = b.getOrCreate()
+    from osmquadtree_depreceated_spark.conf import apply_engine_conf
+
+    apply_engine_conf(s)
+    return s
 
 
 def _force(df):
@@ -603,14 +607,15 @@ Evidence class of this run's headline: **{evidence_kind}**.
 
 {calib_md}
 
-Best-conditioned pairing:
+Selected pairing (best stable-physical round, else the least-bad
+fallback — the evidence class above says which this is):
 
 | run | master | pipeline secs | throughput (docs/sec) |
 |---|---|---|---|
 | A (low)  | local[{SCALE_LOW}] | {lo['secs']} | {lo['docs_per_sec']} |
 | B (high) | local[{SCALE_HIGH}] | {hi['secs']} | {hi['docs_per_sec']} |
 
-best stable-bracketed adjacent-pair efficiency = (tp_B / tp_A) /
+selected adjacent-pair efficiency = (tp_B / tp_A) /
 ({SCALE_HIGH}/{SCALE_LOW}) = **{eff}**; secondary indicator — cross-round
 best-of-levels ratio (each level's fastest run; mixes non-adjacent
 windows) = **{eff_bestlevels}**; HEADLINE (best stable AND physical pair;
@@ -650,6 +655,14 @@ same-job-config partition parity across levels.  A trial
 -XX:ActiveProcessorCount pin on the probe JVMs was REJECTED: it
 measured 1.17 (super-linear = over-constrained low JVM, not evidence).
 """)
+        # persistent supplementary evidence (e.g. the measured 8->32
+        # octave): BASELINE.md is regenerated wholesale on every probe
+        # run, so anything that must survive a driver refresh lives in
+        # BENCH/SUPPLEMENTARY.md and is re-appended here
+        supp = os.path.join("BENCH", "SUPPLEMENTARY.md")
+        if os.path.exists(supp):
+            with open(supp) as sf:
+                f.write("\n" + sf.read())
 
 
 if __name__ == "__main__":

@@ -72,6 +72,9 @@ def _prep(spark: SparkSession, sf_dir: str) -> None:
     # can be GC'd and a new one allocated at the same address
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _prepped:
+        from .conf import apply_engine_conf
+
+        apply_engine_conf(spark)
         tpch.load_base_tables(spark, sf_dir)
         tpch.register_synth_views(spark)
         _prepped[key] = True
@@ -1580,13 +1583,17 @@ def q33_update_tiles(spark, sf_dir) -> DataFrame:
     )
 
 
-def q33_oracle() -> str:
+def _update_tiles_oracle(merged_nodes_cte: str) -> str:
+    """FULL-recompute oracle over a merged-nodes CTE (named merged_nodes):
+    way bboxes -> buffered descent, node Common fold with point-box
+    fallback — the exact q03/q04 pipeline over the post-change state.
+    Shared by q33 (one change batch) and q59 (streamed batches)."""
     fin = sqlgen.common_finish_sql(DUCK, "p.mn", "p.mx", "p.md")
     fb_src = ("select node_id, lon as minx, lat as miny, "
               "lon + 1 as maxx, lat + 1 as maxy from merged_nodes")
     return (
         tpch.synth_cte_prefix("nodes", "way_refs")
-        + ",\n" + _MERGED_NODES_CTE[1:] + """,
+        + ",\n" + merged_nodes_cte[1:] + """,
 wb2 as (
   select way_id, min(n.lon) as minx, min(n.lat) as miny,
          max(n.lon) as maxx, max(n.lat) as maxy
@@ -1614,6 +1621,10 @@ from merged_nodes n
 left join parent2 p on n.node_id = p.node_id
 join uf_cells f on n.node_id = f.node_id"""
     )
+
+
+def q33_oracle() -> str:
+    return _update_tiles_oracle(_MERGED_NODES_CTE)
 
 
 # deterministic synthesized node tags — dialect-neutral pieces so both
@@ -3828,6 +3839,153 @@ select 'rel_cells' as stage, count(*) as n_rows,
 from ({q05_oracle()})"""
 
 
+# q59: STREAMING CalcUpdateTiles as a driver gate (previously pytest-only).
+# Three seq-ordered change micro-batches flow through stream_update_tiles
+# (streaming/changes.py): each batch runs the incremental pipeline against
+# the latest committed snapshot and commits the merged tables as the next
+# snapshot stages.  The batches deliberately exercise every cross-batch
+# interaction — modify-then-modify, create-then-delete, delete-then-
+# create, create-then-modify — so per-batch state genuinely composes.
+# Oracle: ONE full recompute over the final merged node set (the same
+# rule as q33, update/update.go:343-540 contract), via the shared
+# _update_tiles_oracle body with the three waves folded into one
+# merged-nodes CTE.
+
+# wave 2 (seq=2): re-modify a subset of wave 1's modified nodes,
+# delete a subset of wave 1's created nodes, create a new id range
+_NODE_CHANGES_B2_SQL = """
+select node_id, cast(2 as bigint) as seq, 'modify' as change_type,
+       lon + 1000 as lon, lat + 2000 as lat
+from nodes where node_id % 10 = 3 and node_id % 3 = 0
+union all
+select node_id + 10000000, cast(2 as bigint), 'delete',
+       cast(null as bigint), cast(null as bigint)
+from nodes where node_id % 10 = 1 and node_id % 4 = 1
+union all
+select node_id + 20000000, cast(2 as bigint), 'create',
+       lon + 7, lat + 9
+from nodes where node_id % 10 = 9
+"""
+
+# wave 3 (seq=3): re-create a subset of wave 1's deleted nodes, modify a
+# subset of wave 2's created nodes
+_NODE_CHANGES_B3_SQL = """
+select node_id, cast(3 as bigint) as seq, 'create' as change_type,
+       lon + 11 as lon, lat + 13 as lat
+from nodes where node_id % 10 = 7 and node_id % 3 = 0
+union all
+select node_id + 20000000, cast(3 as bigint), 'modify',
+       lon + 21 as lon, lat + 23 as lat
+from nodes where node_id % 10 = 9 and node_id % 3 = 0
+"""
+
+# the three waves folded: final state per node after sequential
+# application (later waves override earlier ones per merge semantics)
+_MERGED_NODES_SEQ_CTE = """
+merged_nodes as (
+  select node_id, lon, lat from nodes
+  where node_id % 10 <> 3 and node_id % 10 <> 7
+  union all
+  select node_id, lon + 337 as lon, lat - 221 as lat
+  from nodes where node_id % 10 = 3 and node_id % 3 <> 0
+  union all
+  select node_id, lon + 1000 as lon, lat + 2000 as lat
+  from nodes where node_id % 10 = 3 and node_id % 3 = 0
+  union all
+  select node_id, lon + 11 as lon, lat + 13 as lat
+  from nodes where node_id % 10 = 7 and node_id % 3 = 0
+  union all
+  select node_id + 10000000 as node_id, lon - 123 as lon, lat + 456 as lat
+  from nodes where node_id % 10 = 1 and node_id % 4 <> 1
+  union all
+  select node_id + 20000000 as node_id, lon + 7 as lon, lat + 9 as lat
+  from nodes where node_id % 10 = 9 and node_id % 3 <> 0
+  union all
+  select node_id + 20000000 as node_id, lon + 21 as lon, lat + 23 as lat
+  from nodes where node_id % 10 = 9 and node_id % 3 = 0
+)"""
+
+
+def q59_streaming_update_tiles(spark, sf_dir) -> DataFrame:
+    """Streaming CalcUpdateTiles: three change micro-batches through a
+    real file stream + foreachBatch incremental pipeline with snapshot
+    commits; the FINAL committed cell tables must equal one full
+    recompute over the fully-merged input (the q33 rule)."""
+    _prep(spark, sf_dir)
+    import os
+    import time
+    import uuid
+
+    from .plans.lineage import SnapshotStore
+    from .streaming.changes import _latest_stage, stream_update_tiles
+
+    tag = uuid.uuid5(uuid.NAMESPACE_URL, sf_dir).hex[:8]
+    work = _gate_work_dir(spark, f"stream_upd_{tag}")
+    store = SnapshotStore(os.path.join(work, "store"))
+    nodes = spark.table("nodes")
+    way_refs = spark.table("way_refs")
+    if not store.has("updg_nodes"):
+        store.write(spark, "updg_nodes", nodes, None)
+        store.write(spark, "updg_wc",
+                    way_cells(_way_bbox_df(spark), 0.05, 18), "cell")
+        store.write(
+            spark, "updg_nc",
+            node_cells(nodes, way_refs,
+                       store.read(spark, "updg_wc"), 0.05, 18),
+            "cell",
+        )
+    feed = os.path.join(work, "feed")
+    if not os.path.isdir(feed):
+        for i, sql in enumerate([_NODE_CHANGES_SQL, _NODE_CHANGES_B2_SQL,
+                                 _NODE_CHANGES_B3_SQL]):
+            # one file per micro-batch; increasing mtimes + lexicographic
+            # paths keep file-source order = wave order
+            spark.sql(sql).coalesce(1).write.parquet(
+                os.path.join(feed, f"b{i}")
+            )
+            time.sleep(0.2)
+    stream = (
+        spark.readStream
+        .schema("node_id long, seq long, change_type string, "
+                "lon long, lat long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(feed, "*"))
+    )
+    q = stream_update_tiles(
+        spark, store, "updg", way_refs, stream,
+        os.path.join(work, "ckpt"),
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "q59 streaming update did not finish within 600s — refusing "
+            "to read a partially-committed snapshot chain"
+        )
+    committed = [s for s in range(3) if store.has(f"updg_nodes@s{s}")]
+    if committed != [0, 1, 2]:
+        raise AssertionError(
+            f"q59: expected 3 committed streaming batches, got "
+            f"{committed} — the stream did not apply every wave"
+        )
+    final_wc = store.read(spark, _latest_stage(store, "updg_wc"))
+    final_nc = store.read(spark, _latest_stage(store, "updg_nc"))
+    return (
+        final_wc.select(
+            F.lit("w").alias("etype"), F.col("way_id").alias("id"), "cell"
+        )
+        .unionByName(
+            final_nc.select(
+                F.lit("n").alias("etype"), F.col("node_id").alias("id"),
+                "cell",
+            )
+        )
+    )
+
+
+def q59_oracle() -> str:
+    return _update_tiles_oracle(_MERGED_NODES_SEQ_CTE)
+
+
 # q56: BYTE semantics of the reference's string quirks over MULTIBYTE
 # input.  The reference measures and slices Go BYTE strings —
 # charlengthFunc/maxwidthFunc use ``len(s)`` and substrFunc slices
@@ -4007,6 +4165,7 @@ GATE_QUERIES = {
     "q56_byte_semantics": q56_byte_semantics,
     "q57_streaming_stateful": q57_streaming_stateful,
     "q58_lineage_rows": q58_lineage_rows,
+    "q59_streaming_update_tiles": q59_streaming_update_tiles,
 }
 
 class _LazyOracles(dict):
@@ -4104,6 +4263,7 @@ GATE_ORACLES = _LazyOracles({
     "q56_byte_semantics": q56_oracle(),
     "q57_streaming_stateful": q57_oracle(),
     "q58_lineage_rows": q58_oracle,  # lazy-ish: composes q03-q05
+    "q59_streaming_update_tiles": q59_oracle(),
 })
 
 

@@ -17,6 +17,9 @@ def spark():
         .config("spark.driver.memory", "4g")
         .getOrCreate()
     )
+    from osmquadtree_depreceated_spark.conf import apply_engine_conf
+
+    apply_engine_conf(s)
     yield s
     s.stop()
 

@@ -46,6 +46,9 @@ def main():
     from pyspark.sql import functions as F
 
     spark = SparkSession.builder.appName("osmquadtree-submit").getOrCreate()
+    from osmquadtree_depreceated_spark.conf import apply_engine_conf
+
+    apply_engine_conf(spark)
     tpch.load_base_tables(spark, sf_dir)
     tpch.register_synth_views(spark)
     nodes = spark.table("nodes")
