@@ -3913,7 +3913,6 @@ def q59_streaming_update_tiles(spark, sf_dir) -> DataFrame:
     recompute over the fully-merged input (the q33 rule)."""
     _prep(spark, sf_dir)
     import os
-    import time
     import uuid
 
     from .plans.lineage import SnapshotStore
@@ -3924,7 +3923,10 @@ def q59_streaming_update_tiles(spark, sf_dir) -> DataFrame:
     store = SnapshotStore(os.path.join(work, "store"))
     nodes = spark.table("nodes")
     way_refs = spark.table("way_refs")
-    if not store.has("updg_nodes"):
+    # guard on the LAST seed stage: store writes are overwrite-idempotent,
+    # so an interrupted seeding (nodes committed, nc not) self-heals on
+    # retry instead of poisoning the session with a half-seeded store
+    if not store.has("updg_nc"):
         store.write(spark, "updg_nodes", nodes, None)
         store.write(spark, "updg_wc",
                     way_cells(_way_bbox_df(spark), 0.05, 18), "cell")
@@ -3935,15 +3937,23 @@ def q59_streaming_update_tiles(spark, sf_dir) -> DataFrame:
             "cell",
         )
     feed = os.path.join(work, "feed")
-    if not os.path.isdir(feed):
-        for i, sql in enumerate([_NODE_CHANGES_SQL, _NODE_CHANGES_B2_SQL,
-                                 _NODE_CHANGES_B3_SQL]):
-            # one file per micro-batch; increasing mtimes + lexicographic
-            # paths keep file-source order = wave order
-            spark.sql(sql).coalesce(1).write.parquet(
-                os.path.join(feed, f"b{i}")
+    for i, sql in enumerate([_NODE_CHANGES_SQL, _NODE_CHANGES_B2_SQL,
+                             _NODE_CHANGES_B3_SQL]):
+        wave_dir = os.path.join(feed, f"b{i}")
+        # per-wave content check + overwrite: an interrupted feed build
+        # (b0 written, b2 not) regenerates the missing waves on retry
+        if not os.path.isdir(wave_dir) or not any(
+            f.endswith(".parquet") for f in os.listdir(wave_dir)
+        ):
+            spark.sql(sql).coalesce(1).write.mode("overwrite").parquet(
+                wave_dir
             )
-            time.sleep(0.2)
+        # the file stream orders pending files by modification time ONLY
+        # (no path tie-break), so pin strictly increasing mtimes far
+        # apart — robust to any filesystem timestamp granularity
+        ts = 1_000_000_000 + 100 * i
+        for fn in os.listdir(wave_dir):
+            os.utime(os.path.join(wave_dir, fn), (ts, ts))
     stream = (
         spark.readStream
         .schema("node_id long, seq long, change_type string, "
