@@ -4114,6 +4114,43 @@ from ext3"""
     )
 
 
+# q60: bucketed co-located join — the way_refs ⋈ nodes join (the
+# pipeline's biggest shuffle, calcqts/resortwaynodes.go:539-630) run
+# over tables pre-bucketed on their join keys (plans/bucketed.py).  The
+# gate's engine path raises unless the join plans ZERO Exchange
+# operators (assert_colocated), so the result being value-equal to the
+# plain-join oracle proves the shuffle-free plan computes the same
+# bboxes — a plan regression (bucket metadata lost, key drift) fails the
+# gate rather than silently re-shuffling.
+
+
+def q60_bucketed_join(spark, sf_dir) -> DataFrame:
+    """Exchange-free way⋈node join over bucketed tables, aggregated to
+    way bboxes (min/max lon/lat per way)."""
+    from .plans.bucketed import bucketed_way_node_join
+
+    _prep(spark, sf_dir)
+    base = _gate_work_dir(spark, "bucketed60")
+    j = bucketed_way_node_join(
+        spark, spark.table("way_refs"), spark.table("nodes"), base
+    )
+    return j.groupBy("way_id").agg(
+        F.min("lon").alias("minx"),
+        F.min("lat").alias("miny"),
+        F.max("lon").alias("maxx"),
+        F.max("lat").alias("maxy"),
+    )
+
+
+def q60_oracle() -> str:
+    return (
+        "with "
+        + tpch.synth_cte_prefix("nodes", "way_refs")[len("with "):]
+        + ",\n" + _WB_CTE
+        + "\nselect way_id, minx, miny, maxx, maxy from wb"
+    )
+
+
 # --------------------------------------------------------------- registry
 
 GATE_QUERIES = {
@@ -4176,6 +4213,7 @@ GATE_QUERIES = {
     "q57_streaming_stateful": q57_streaming_stateful,
     "q58_lineage_rows": q58_lineage_rows,
     "q59_streaming_update_tiles": q59_streaming_update_tiles,
+    "q60_bucketed_join": q60_bucketed_join,
 }
 
 class _LazyOracles(dict):
@@ -4274,6 +4312,7 @@ GATE_ORACLES = _LazyOracles({
     "q57_streaming_stateful": q57_oracle(),
     "q58_lineage_rows": q58_oracle,  # lazy-ish: composes q03-q05
     "q59_streaming_update_tiles": q59_oracle(),
+    "q60_bucketed_join": q60_oracle(),
 })
 
 

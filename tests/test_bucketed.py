@@ -1,0 +1,74 @@
+"""Bucketed co-located join (plans/bucketed.py): the pre-shuffled layout
+for the way_refs ⋈ nodes join must (a) plan ZERO Exchange operators,
+(b) compute exactly the plain join's rows, and (c) fail loudly — not
+silently re-shuffle — when the bucket layouts stop matching."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmquadtree_depreceated_spark.plans.bucketed import (
+    assert_colocated,
+    bucketed_way_node_join,
+    colocated_join,
+    exchange_count,
+    write_bucketed,
+)
+from osmquadtree_depreceated_spark.sources import tpch
+
+
+@pytest.fixture(scope="module")
+def base(spark, sf_dir):
+    tpch.load_base_tables(spark, sf_dir)
+    tpch.register_synth_views(spark)
+    return spark
+
+
+def test_bucketed_join_is_exchange_free_and_value_equal(base, tmp_path):
+    spark = base
+    j = bucketed_way_node_join(
+        spark, spark.table("way_refs"), spark.table("nodes"),
+        str(tmp_path / "bkt")
+    )
+    assert exchange_count(j) == 0
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan and "SortMergeJoin" in plan
+
+    plain = spark.table("way_refs").join(
+        spark.table("nodes"),
+        F.col("ref") == F.col("node_id"),
+    ).select("way_id", "pos", "ref", "lon", "lat")
+    got = sorted(map(tuple, j.collect()))
+    want = sorted(map(tuple, plain.collect()))
+    assert got == want and len(got) > 0
+
+
+def test_plain_join_shuffles_for_contrast(base):
+    spark = base
+    refs, nodes = spark.table("way_refs"), spark.table("nodes")
+    plain = colocated_join(refs, nodes, refs["ref"] == nodes["node_id"])
+    # same SMJ hint, un-bucketed inputs: both sides must exchange
+    assert exchange_count(plain) >= 2
+
+
+def test_mismatched_bucket_counts_raise(base, tmp_path):
+    spark = base
+    write_bucketed(spark.table("way_refs"), "bkt_mismatch_refs", "ref", 4,
+                   str(tmp_path / "r"))
+    write_bucketed(spark.table("nodes"), "bkt_mismatch_nodes", "node_id", 8,
+                   str(tmp_path / "n"))
+    r, n = spark.table("bkt_mismatch_refs"), spark.table("bkt_mismatch_nodes")
+    j = colocated_join(r, n, r["ref"] == n["node_id"])
+    # 4 vs 8 buckets: Spark must re-shuffle at least one side — the
+    # guard turns that silent degradation into an error
+    with pytest.raises(RuntimeError, match="Exchange"):
+        assert_colocated(j)
+
+
+def test_write_is_rerun_safe(base, tmp_path):
+    spark = base
+    p = str(tmp_path / "rr")
+    for _ in range(2):  # drop-and-recreate must self-heal
+        write_bucketed(spark.table("nodes"), "bkt_rerun", "node_id", 8, p)
+    assert spark.table("bkt_rerun").count() == spark.table("nodes").count()
