@@ -47,7 +47,10 @@ def way_bboxes(way_refs: DataFrame, nodes: DataFrame,
     shuffle, round 3) because partial aggregation already provides the
     bound — it exists for aggregations without partial push-down (e.g.
     collect_list assembly), not for min/max.  Default call sites use 0.
-    AQE skew-join splitting handles the join side.
+    AQE skew-join splitting handles the join side — pinned by
+    tests/test_skew_join.py: a node holding 50% of all refs makes the
+    final adaptive plan split the SortMergeJoin (``skew=true``) with
+    value-identical output.
     """
     j = way_refs.join(
         nodes,
