@@ -24,5 +24,13 @@ def apply_engine_conf(spark) -> None:
     where the propagation was legitimate; the update path is the only
     measured consumer and its unions are change-sized (tiny), so the
     cost is negligible against a wrong-plan crash.
+    spark.sql.sources.bucketing.enabled=true — Spark's default, set
+    explicitly because the bucketed co-located join path
+    (plans/bucketed.py, gate q60) REQUIRES bucket-aware scans: with the
+    flag off the reader ignores bucket metadata, the join re-shuffles,
+    and assert_colocated correctly refuses to run — so a hosting
+    session that disabled bucketing for an unrelated reason would fail
+    the gate.  Both confs are runtime-settable.
     """
     spark.conf.set("spark.sql.unionOutputPartitioning", "false")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")

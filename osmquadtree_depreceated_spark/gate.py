@@ -4151,6 +4151,33 @@ def q60_oracle() -> str:
     )
 
 
+# q61: the calcqts way pass COMPOSED over the bucketed layout — the
+# exchange-free join feeds the same bbox aggregation and buffered-cell
+# descent as q03, and must land on the q03 oracle's exact cells.  This
+# proves the storage-layout change is transparent to the geometry math
+# end-to-end (a bucket-pruned or misordered read would move bboxes and
+# therefore cells).
+
+
+def q61_bucketed_way_cells(spark, sf_dir) -> DataFrame:
+    """Way cells (buffer 0.05, depth 18) from the bucketed co-located
+    join — q03's pipeline over the pre-shuffled layout."""
+    from .plans.bucketed import bucketed_way_node_join
+
+    _prep(spark, sf_dir)
+    base = _gate_work_dir(spark, "bucketed60")
+    j = bucketed_way_node_join(
+        spark, spark.table("way_refs"), spark.table("nodes"), base
+    )
+    wb = j.groupBy("way_id").agg(
+        F.min("lon").alias("minx"),
+        F.min("lat").alias("miny"),
+        F.max("lon").alias("maxx"),
+        F.max("lat").alias("maxy"),
+    )
+    return way_cells(wb, 0.05, 18)
+
+
 # --------------------------------------------------------------- registry
 
 GATE_QUERIES = {
@@ -4214,6 +4241,7 @@ GATE_QUERIES = {
     "q58_lineage_rows": q58_lineage_rows,
     "q59_streaming_update_tiles": q59_streaming_update_tiles,
     "q60_bucketed_join": q60_bucketed_join,
+    "q61_bucketed_way_cells": q61_bucketed_way_cells,
 }
 
 class _LazyOracles(dict):
@@ -4313,6 +4341,7 @@ GATE_ORACLES = _LazyOracles({
     "q58_lineage_rows": q58_oracle,  # lazy-ish: composes q03-q05
     "q59_streaming_update_tiles": q59_oracle(),
     "q60_bucketed_join": q60_oracle(),
+    "q61_bucketed_way_cells": q03_oracle(),
 })
 
 
