@@ -4132,7 +4132,8 @@ def q60_bucketed_join(spark, sf_dir) -> DataFrame:
     _prep(spark, sf_dir)
     base = _gate_work_dir(spark, "bucketed60")
     j = bucketed_way_node_join(
-        spark, spark.table("way_refs"), spark.table("nodes"), base
+        spark, spark.table("way_refs"), spark.table("nodes"), base,
+        table_prefix="bkt_q60",
     )
     return j.groupBy("way_id").agg(
         F.min("lon").alias("minx"),
@@ -4165,9 +4166,10 @@ def q61_bucketed_way_cells(spark, sf_dir) -> DataFrame:
     from .plans.bucketed import bucketed_way_node_join
 
     _prep(spark, sf_dir)
-    base = _gate_work_dir(spark, "bucketed60")
+    base = _gate_work_dir(spark, "bucketed61")
     j = bucketed_way_node_join(
-        spark, spark.table("way_refs"), spark.table("nodes"), base
+        spark, spark.table("way_refs"), spark.table("nodes"), base,
+        table_prefix="bkt_q61",
     )
     wb = j.groupBy("way_id").agg(
         F.min("lon").alias("minx"),

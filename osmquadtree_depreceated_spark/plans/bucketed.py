@@ -84,21 +84,27 @@ def assert_colocated(df: DataFrame, what: str = "join") -> DataFrame:
 
 def bucketed_way_node_join(spark: SparkSession, way_refs: DataFrame,
                            nodes: DataFrame, base_path: str,
-                           num_buckets: int = 8) -> DataFrame:
+                           num_buckets: int = 8,
+                           table_prefix: str = "bkt") -> DataFrame:
     """way_refs ⋈ nodes with both sides pre-bucketed on the join key.
 
     Writes way_refs bucketed on `ref` and nodes on `node_id` (same
     bucket count), reads them back, and returns the exchange-free
     SortMergeJoin of the two — the scan→join segment of the calcqts way
-    pass with its runtime shuffle moved to write time."""
+    pass with its runtime shuffle moved to write time.
+
+    `table_prefix` must be unique per CONSUMER (gates q60/q61 pass
+    their own): a shared name would let a second build's
+    drop-and-recreate delete the files a first, still-lazy DataFrame's
+    analyzed plan has already pinned."""
     import os
 
-    write_bucketed(way_refs, "bkt_way_refs", "ref", num_buckets,
-                   os.path.join(base_path, "way_refs"))
-    write_bucketed(nodes, "bkt_nodes", "node_id", num_buckets,
-                   os.path.join(base_path, "nodes"))
-    refs_t = spark.table("bkt_way_refs")
-    nodes_t = spark.table("bkt_nodes")
+    write_bucketed(way_refs, f"{table_prefix}_way_refs", "ref",
+                   num_buckets, os.path.join(base_path, "way_refs"))
+    write_bucketed(nodes, f"{table_prefix}_nodes", "node_id",
+                   num_buckets, os.path.join(base_path, "nodes"))
+    refs_t = spark.table(f"{table_prefix}_way_refs")
+    nodes_t = spark.table(f"{table_prefix}_nodes")
     j = colocated_join(refs_t, nodes_t,
                        refs_t["ref"] == nodes_t["node_id"])
     return assert_colocated(

@@ -66,6 +66,19 @@ def test_mismatched_bucket_counts_raise(base, tmp_path):
         assert_colocated(j)
 
 
+def test_gates_can_build_before_executing(base, sf_dir):
+    """A consumer may build SEVERAL gate DataFrames before executing any
+    (the driver pattern).  q60 and q61 use distinct table names and dirs
+    so q61's drop-and-recreate cannot delete files q60's already-analyzed
+    plan has pinned — executing the FIRST df after building the second
+    must still succeed."""
+    from osmquadtree_depreceated_spark import gate
+
+    df60 = gate.GATE_QUERIES["q60_bucketed_join"](base, sf_dir)
+    df61 = gate.GATE_QUERIES["q61_bucketed_way_cells"](base, sf_dir)
+    assert df60.count() > 0 and df61.count() > 0
+
+
 def test_write_is_rerun_safe(base, tmp_path):
     spark = base
     p = str(tmp_path / "rr")
