@@ -82,6 +82,28 @@ def assert_colocated(df: DataFrame, what: str = "join") -> DataFrame:
     return df
 
 
+def write_partitioned_bucketed(df: DataFrame, table: str, path: str,
+                               part_col: str, bucket_col: str,
+                               num_buckets: int) -> None:
+    """The hybrid serving layout: PARTITIONED on the rounded cell key
+    (tile/bbox queries prune directories — plans/partitioned.py's prune
+    story) AND BUCKETED on the element id (id-equi-joins, e.g. the
+    update path's change⋈snapshot join, need no shuffle — this module's
+    join story).  A bucket's data spans partition directories, but the
+    scan still exposes HashPartitioning(bucket_col, n): each bucket id
+    is one task reading that bucket's file from every selected
+    partition, so partition pruning and join co-location COMPOSE — the
+    layout a planet-scale tile store should use.  Pinned by
+    tests/test_bucketed.py::test_partitioned_bucketed_composes."""
+    spark = df.sparkSession
+    spark.sql(f"drop table if exists {table}")
+    (df.write.mode("overwrite").format("parquet").option("path", path)
+       .partitionBy(part_col)
+       .bucketBy(num_buckets, bucket_col)
+       .sortBy(bucket_col)
+       .saveAsTable(table))
+
+
 def bucketed_way_node_join(spark: SparkSession, way_refs: DataFrame,
                            nodes: DataFrame, base_path: str,
                            num_buckets: int = 8,

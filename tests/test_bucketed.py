@@ -79,6 +79,62 @@ def test_gates_can_build_before_executing(base, sf_dir):
     assert df60.count() > 0 and df61.count() > 0
 
 
+def test_partitioned_bucketed_composes(base, tmp_path):
+    """The hybrid layout must deliver BOTH properties in ONE plan: a
+    cell-partition filter that prunes at the scan (PartitionFilters),
+    and an id-join against a same-bucket-count side with zero Exchange.
+    Values must equal the plain recomputation over the pruned subset."""
+    from osmquadtree_depreceated_spark.functions.cells import cell_round
+    from osmquadtree_depreceated_spark.operators.calcqts import (
+        cells_of_bboxes,
+    )
+    from osmquadtree_depreceated_spark.plans.bucketed import (
+        write_partitioned_bucketed,
+    )
+
+    spark = base
+    # a cell-keyed element table: node point-box cells, rounded to the
+    # level-6 partition key
+    nc = cells_of_bboxes(
+        spark.table("nodes").select(
+            "node_id", F.col("lon").alias("minx"),
+            F.col("lat").alias("miny"),
+            (F.col("lon") + 1).alias("maxx"),
+            (F.col("lat") + 1).alias("maxy")),
+        0.05, 18,
+    ).select("node_id", "cell").withColumn(
+        "part_cell", cell_round("cell", 6))
+    write_partitioned_bucketed(nc, "hyb_nodes", str(tmp_path / "hyb"),
+                               "part_cell", "node_id", 8)
+    # a change feed bucketed the same way on the join key
+    ch = spark.table("nodes").select(
+        "node_id", (F.col("lon") + 10).alias("new_lon"))
+    write_bucketed(ch, "hyb_changes", "node_id", 8,
+                   str(tmp_path / "chg"))
+
+    t = spark.table("hyb_nodes")
+    cells = [r[0] for r in
+             t.select("part_cell").distinct().limit(3).collect()]
+    pruned = t.where(F.col("part_cell").isin(cells))
+    c = spark.table("hyb_changes")
+    j = colocated_join(pruned, c, pruned["node_id"] == c["node_id"],
+                       "inner").select(pruned["node_id"], "cell",
+                                       "part_cell", "new_lon")
+
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert exchange_count(j) == 0
+    assert "PartitionFilters: [" in plan and "part_cell" in plan.split(
+        "PartitionFilters")[1][:120]
+    assert plan.count("Bucketed: true") == 2
+
+    # value check vs the un-laid-out computation
+    want = sorted(map(tuple, nc.where(F.col("part_cell").isin(cells))
+                      .join(ch, "node_id")
+                      .select("node_id", "cell", "part_cell", "new_lon")
+                      .collect()))
+    assert sorted(map(tuple, j.collect())) == want and len(want) > 0
+
+
 def test_write_is_rerun_safe(base, tmp_path):
     spark = base
     p = str(tmp_path / "rr")
