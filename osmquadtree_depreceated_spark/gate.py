@@ -4124,23 +4124,25 @@ from ext3"""
 # gate rather than silently re-shuffling.
 
 
+def _bucketed_way_bbox(spark, sf_dir, tag: str) -> DataFrame:
+    """Shared q60/q61 prologue: the exchange-free bucketed join under a
+    consumer-unique table prefix/dir (`tag`), aggregated to way bboxes
+    by the single shared formula (plans/bucketed.way_bbox_agg)."""
+    from .plans.bucketed import bucketed_way_node_join, way_bbox_agg
+
+    _prep(spark, sf_dir)
+    base = _gate_work_dir(spark, f"bucketed_{tag}")
+    j = bucketed_way_node_join(
+        spark, spark.table("way_refs"), spark.table("nodes"), base,
+        table_prefix=f"bkt_{tag}",
+    )
+    return way_bbox_agg(j)
+
+
 def q60_bucketed_join(spark, sf_dir) -> DataFrame:
     """Exchange-free way⋈node join over bucketed tables, aggregated to
     way bboxes (min/max lon/lat per way)."""
-    from .plans.bucketed import bucketed_way_node_join
-
-    _prep(spark, sf_dir)
-    base = _gate_work_dir(spark, "bucketed60")
-    j = bucketed_way_node_join(
-        spark, spark.table("way_refs"), spark.table("nodes"), base,
-        table_prefix="bkt_q60",
-    )
-    return j.groupBy("way_id").agg(
-        F.min("lon").alias("minx"),
-        F.min("lat").alias("miny"),
-        F.max("lon").alias("maxx"),
-        F.max("lat").alias("maxy"),
-    )
+    return _bucketed_way_bbox(spark, sf_dir, "q60")
 
 
 def q60_oracle() -> str:
@@ -4163,21 +4165,7 @@ def q60_oracle() -> str:
 def q61_bucketed_way_cells(spark, sf_dir) -> DataFrame:
     """Way cells (buffer 0.05, depth 18) from the bucketed co-located
     join — q03's pipeline over the pre-shuffled layout."""
-    from .plans.bucketed import bucketed_way_node_join
-
-    _prep(spark, sf_dir)
-    base = _gate_work_dir(spark, "bucketed61")
-    j = bucketed_way_node_join(
-        spark, spark.table("way_refs"), spark.table("nodes"), base,
-        table_prefix="bkt_q61",
-    )
-    wb = j.groupBy("way_id").agg(
-        F.min("lon").alias("minx"),
-        F.min("lat").alias("miny"),
-        F.max("lon").alias("maxx"),
-        F.max("lat").alias("maxy"),
-    )
-    return way_cells(wb, 0.05, 18)
+    return way_cells(_bucketed_way_bbox(spark, sf_dir, "q61"), 0.05, 18)
 
 
 # --------------------------------------------------------------- registry

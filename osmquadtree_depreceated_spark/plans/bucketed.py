@@ -35,18 +35,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 def write_bucketed(df: DataFrame, table: str, bucket_col: str,
                    num_buckets: int, path: str,
-                   sort_cols: tuple[str, ...] | None = None) -> None:
+                   sort_cols: tuple[str, ...] | None = None,
+                   part_col: str | None = None) -> None:
     """Write `df` as a bucketed parquet table at `path`, registered in
     the session catalog as `table` (dropped first if present, so reruns
     self-heal).  `sort_cols` defaults to (bucket_col,): sorted buckets
-    let the SortMergeJoin read presorted runs instead of re-sorting."""
+    let the SortMergeJoin read presorted runs instead of re-sorting.
+    `part_col` additionally partitions the table (the hybrid layout —
+    see write_partitioned_bucketed)."""
     spark = df.sparkSession
     spark.sql(f"drop table if exists {table}")
     sort_cols = sort_cols or (bucket_col,)
-    (df.write.mode("overwrite").format("parquet").option("path", path)
-       .bucketBy(num_buckets, bucket_col)
-       .sortBy(*sort_cols)
-       .saveAsTable(table))
+    w = df.write.mode("overwrite").format("parquet").option("path", path)
+    if part_col is not None:
+        w = w.partitionBy(part_col)
+    (w.bucketBy(num_buckets, bucket_col)
+      .sortBy(*sort_cols)
+      .saveAsTable(table))
 
 
 def colocated_join(left: DataFrame, right: DataFrame, cond,
@@ -62,10 +67,13 @@ def colocated_join(left: DataFrame, right: DataFrame, cond,
 def exchange_count(df: DataFrame) -> int:
     """Number of Exchange operators (shuffle or broadcast) in the
     physical plan.  Uses the executed-plan string (same capture as
-    tests/test_plan_sweep.py); under AQE the initial plan is printed,
-    which is where a bucket-layout mismatch would already surface."""
+    tests/test_plan_sweep.py).  Before execution, AQE prints one plan
+    (isFinalPlan=false); AFTER an action it prints BOTH '== Final
+    Plan ==' and '== Initial Plan ==' sections, which would double-count
+    every Exchange — only the final (actually executed) section is
+    counted."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return plan.count("Exchange")
+    return plan.split("== Initial Plan ==")[0].count("Exchange")
 
 
 def assert_colocated(df: DataFrame, what: str = "join") -> DataFrame:
@@ -95,13 +103,8 @@ def write_partitioned_bucketed(df: DataFrame, table: str, path: str,
     partition, so partition pruning and join co-location COMPOSE — the
     layout a planet-scale tile store should use.  Pinned by
     tests/test_bucketed.py::test_partitioned_bucketed_composes."""
-    spark = df.sparkSession
-    spark.sql(f"drop table if exists {table}")
-    (df.write.mode("overwrite").format("parquet").option("path", path)
-       .partitionBy(part_col)
-       .bucketBy(num_buckets, bucket_col)
-       .sortBy(bucket_col)
-       .saveAsTable(table))
+    write_bucketed(df, table, bucket_col, num_buckets, path,
+                   part_col=part_col)
 
 
 def bucketed_way_node_join(spark: SparkSession, way_refs: DataFrame,
@@ -131,4 +134,19 @@ def bucketed_way_node_join(spark: SparkSession, way_refs: DataFrame,
                        refs_t["ref"] == nodes_t["node_id"])
     return assert_colocated(
         j.select("way_id", "pos", "ref", "lon", "lat"), "way⋈node join"
+    )
+
+
+def way_bbox_agg(joined: DataFrame) -> DataFrame:
+    """Per-way bbox over a (way_id, lon, lat) join result — the second
+    half of operators.calcqts.way_bboxes, shared by gates q60/q61 and
+    tools/bucketed_ab.py so the aggregation semantics live in exactly
+    one place."""
+    from pyspark.sql import functions as F
+
+    return joined.groupBy("way_id").agg(
+        F.min("lon").alias("minx"),
+        F.min("lat").alias("miny"),
+        F.max("lon").alias("maxx"),
+        F.max("lat").alias("maxy"),
     )

@@ -40,12 +40,9 @@ ROUNDS = int(os.environ.get("BKT_ROUNDS", "5"))
 
 
 def _agg(j):
-    from pyspark.sql import functions as F
+    from osmquadtree_depreceated_spark.plans.bucketed import way_bbox_agg
 
-    return j.groupBy("way_id").agg(
-        F.min("lon").alias("minx"), F.min("lat").alias("miny"),
-        F.max("lon").alias("maxx"), F.max("lat").alias("maxy"),
-    )
+    return way_bbox_agg(j)
 
 
 def _run(df) -> float:
@@ -116,7 +113,9 @@ def main() -> None:
                 "exchanges": exchange_count(mk()),
             }
         res["bucket_write_s"] = round(write_s, 3)
-        res["rows_equal"] = plain_df().count() == bkt_df().count()
+        # value-equality of the two paths is the q60 gate's job — no
+        # extra executions here for a count-only check that couldn't
+        # detect value divergence anyway
 
         line = {"ab": "bucketed_join", "sf_dir": SF_DIR, "cpus": CPUS,
                 "buckets": BUCKETS, "rounds": ROUNDS, **res}
