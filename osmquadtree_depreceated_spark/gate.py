@@ -4168,6 +4168,132 @@ def q61_bucketed_way_cells(spark, sf_dir) -> DataFrame:
     return way_cells(_bucketed_way_bbox(spark, sf_dir, "q61"), 0.05, 18)
 
 
+# q62: real audio decode over the opaque binary column.  Fixtures are
+# genuine RIFF/WAVE files written by the stdlib `wave` module; the engine
+# decodes them with an independent hand-rolled chunk walker
+# (operators/media.py::decode_wav) inside the same mapInPandas posture as
+# the PNG path (q30).  Samples are closed-form ((5i + 17*id) mod 256), so
+# the DuckDB oracle predicts every decoded feature arithmetically without
+# ever touching the bytes — a mis-parsed header, sample count, or payload
+# offset anywhere fails the hash.
+
+def q62_media_audio(spark, sf_dir) -> DataFrame:
+    """WAV decode -> per-sample features (sum/min/max/loud-count/first/
+    last/total-variation) + format metadata from the fmt chunk."""
+    _prep(spark, sf_dir)
+    from .operators.media import extract_audio_features, wav_blobs
+
+    return extract_audio_features(
+        wav_blobs(spark.table("documents"))
+    ).select(
+        "doc_id", "media_ref", "n_bytes", "n_channels", "sample_rate",
+        "n_samples", *[f"a{i}" for i in range(7)],
+    )
+
+
+def q62_oracle() -> str:
+    # sample(i) = (5i + 17*id) mod 256 over n = 16 + id%50 samples;
+    # file size = 44-byte canonical header (12 RIFF + 24 fmt + 8 data) + n
+    s_i = "(5 * i + 17 * doc_id) % 256"
+    step = ("abs((5 * (i + 1) + 17 * doc_id) % 256"
+            f" - {s_i})")
+    return f"""
+with dims as (
+  select doc_id, 16 + doc_id % 50 as n from documents
+),
+px as (
+  select doc_id, n,
+         list_transform(range(0, n), i -> {s_i}) as s
+  from dims
+)
+select doc_id,
+       'wav://' || cast(doc_id as varchar) as media_ref,
+       cast(44 + n as int) as n_bytes,
+       cast(1 as int) as n_channels,
+       cast(8000 as int) as sample_rate,
+       cast(n as int) as n_samples,
+       cast(list_aggregate(s, 'sum') as bigint) as a0,
+       cast(list_aggregate(s, 'min') as bigint) as a1,
+       cast(list_aggregate(s, 'max') as bigint) as a2,
+       cast(len(list_filter(s, v -> v > 127)) as bigint) as a3,
+       cast((17 * doc_id) % 256 as bigint) as a4,
+       cast((5 * (n - 1) + 17 * doc_id) % 256 as bigint) as a5,
+       cast(list_aggregate(list_transform(range(0, n - 1),
+            i -> {step}), 'sum') as bigint) as a6
+from px"""
+
+
+# q63: as-of join — per (user, probe-time), the newest event at or before
+# the probe (the point-in-time lookup of a change stream; filterLastObj
+# over a timestamp prefix, update/update.go:69-110, generalized to
+# per-probe timestamps).  The ENGINE runs the scalable union+window plan
+# (operators/update.py::asof_join — one shuffle, no pair blow-up); the
+# ORACLE is the structurally different join+row_number formulation with
+# the identical explicit tiebreak, so the two agree only if the as-of
+# semantics (inclusive equality, newest-wins, event_id tiebreak,
+# left-join NULL fill) are exactly right.
+
+_Q63_PROBES = [
+    "2024-01-01 06:30:00", "2024-01-02 12:00:00",
+    "2024-01-04 00:00:00", "2024-01-07 18:45:00",
+]
+
+
+def q63_asof_join(spark, sf_dir) -> DataFrame:
+    _prep(spark, sf_dir)
+    from .operators.update import asof_join
+
+    ev = spark.table("events")
+    ts_type = ev.schema["ts"].dataType
+    probes = (
+        ev.select("user_id").distinct()
+        .select(
+            "user_id",
+            F.explode(F.array(*[
+                F.lit(p).cast(ts_type) for p in _Q63_PROBES
+            ])).alias("pts"),
+        )
+    )
+    joined = asof_join(
+        probes, ev.select("user_id", "ts", "event_id", "event_type",
+                          "value"),
+        key_cols=["user_id"], left_ts="pts", right_ts="ts",
+        right_cols=["event_id", "event_type", "value", "ts"],
+        tiebreak_cols=["event_id"],
+    )
+    return joined.select(
+        "user_id",
+        F.unix_micros(F.col("pts").cast("timestamp")).alias("probe_us"),
+        "event_id", "event_type", "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("event_us"),
+    )
+
+
+def q63_oracle() -> str:
+    probes = ", ".join(f"(timestamp '{p}')" for p in _Q63_PROBES)
+    return f"""
+with probes as (
+  select u.user_id, p.pts
+  from (select distinct user_id from events) u
+  cross join (values {probes}) p(pts)
+),
+cand as (
+  select pr.user_id, pr.pts, e.event_id, e.event_type, e.value, e.ts,
+         row_number() over (
+           partition by pr.user_id, pr.pts
+           order by e.ts desc, e.event_id desc
+         ) as rn
+  from probes pr
+  left join events e
+    on e.user_id = pr.user_id and e.ts <= pr.pts
+)
+select user_id,
+       epoch_us(pts) as probe_us,
+       event_id, event_type, value,
+       epoch_us(ts) as event_us
+from cand where rn = 1"""
+
+
 # --------------------------------------------------------------- registry
 
 GATE_QUERIES = {
@@ -4232,6 +4358,8 @@ GATE_QUERIES = {
     "q59_streaming_update_tiles": q59_streaming_update_tiles,
     "q60_bucketed_join": q60_bucketed_join,
     "q61_bucketed_way_cells": q61_bucketed_way_cells,
+    "q62_media_audio": q62_media_audio,
+    "q63_asof_join": q63_asof_join,
 }
 
 class _LazyOracles(dict):
@@ -4332,6 +4460,8 @@ GATE_ORACLES = _LazyOracles({
     "q59_streaming_update_tiles": q59_oracle(),
     "q60_bucketed_join": q60_oracle(),
     "q61_bucketed_way_cells": q03_oracle(),
+    "q62_media_audio": q62_oracle(),
+    "q63_asof_join": q63_oracle(),
 })
 
 

@@ -208,6 +208,78 @@ def latest_version(df: DataFrame, key_cols, order_cols) -> DataFrame:
     )
 
 
+def asof_join(left: DataFrame, right: DataFrame, key_cols,
+              left_ts: str, right_ts: str, right_cols,
+              tiebreak_cols=(), how: str = "left") -> DataFrame:
+    """As-of join: for every left row, the newest right row with
+    right_ts <= left_ts on the same key (the point-in-time lookup the
+    reference answers by replaying a change stream up to a timestamp —
+    filterLastObj over the prefix, update.go:69-110 — generalized to
+    per-probe timestamps).
+
+    Spark-first plan: UNION both sides tagged (right=0 sorts before
+    left=1 at equal ts, so equality is inclusive), one window per key
+    ordered (ts, side, *tiebreaks), and `last(_r, ignorenulls=True)`
+    carries the newest right payload forward; among equal-ts right rows
+    the greatest tiebreak tuple wins (ascending sort -> last seen).  The
+    payload travels as ONE struct, so genuinely-NULL right values never
+    fall through to an older row.  Cost: a single shuffle on key_cols —
+    no pair blow-up, no range-join BNLJ; skew behaves like any keyed
+    window (AQE skew split / salting apply unchanged).  At 100 TB this
+    beats the naive `left join .. on ts <= pts` + row_number plan (the
+    oracle's formulation), whose join is quadratic per hot key.
+
+    how='left' keeps probe rows with no prior right row (NULL payload);
+    how='inner' drops them.
+    """
+    key_cols = list(key_cols)
+    right_cols = list(right_cols)
+    tiebreak_cols = list(tiebreak_cols)
+    payload = F.struct(*[F.col(c) for c in right_cols])
+    left_keep = [c for c in left.columns
+                 if c not in key_cols and c != left_ts]
+    r_side = right.select(
+        *key_cols,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_tb{i}") for i, c in enumerate(tiebreak_cols)],
+        payload.alias("_r"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left_keep],
+    )
+    l_side = left.select(
+        *key_cols,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_tb{i}")
+          for i, c in enumerate(tiebreak_cols)],
+        F.lit(None).cast(r_side.schema["_r"].dataType).alias("_r"),
+        *left_keep,
+    )
+    order = [F.col("_ts").asc(), F.col("_side").asc()] + [
+        F.col(f"_tb{i}").asc() for i in range(len(tiebreak_cols))
+    ]
+    w = (
+        Window.partitionBy(*key_cols).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        r_side.unionByName(l_side)
+        .withColumn("_match", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    if how == "inner":
+        filled = filled.filter(F.col("_match").isNotNull())
+    elif how != "left":
+        raise ValueError(f"unsupported how={how!r}")
+    return filled.select(
+        *key_cols,
+        F.col("_ts").alias(left_ts),
+        *left_keep,
+        *[F.col(f"_match.{c}").alias(c) for c in right_cols],
+    )
+
+
 def merge_changes(base: DataFrame, changes: DataFrame, key: str,
                   ct_col: str = "change_type", seq_col: str = "seq",
                   val_cols=("val",)) -> DataFrame:
