@@ -4294,6 +4294,36 @@ select user_id,
 from cand where rn = 1"""
 
 
+# q64: globally-ordered tile output — the reference's block sort
+# (sortblocks/blocksort.go: per-tile spill blocks k-way-merged into ONE
+# stream of tiles in global quadtree order).  The engine re-expresses it
+# as a range-partitioned distributed sort (plans/sorted.py): ONE
+# RangePartitioning exchange with sampled boundaries + per-partition
+# external sort + write.  The gate is two-sided: `assert_global_order`
+# recomputes per-file key intervals FROM the written files and raises
+# unless they are strictly increasing and disjoint in partition order
+# (concatenating the files IS the sorted stream), and the read-back
+# content must value-match the independent q03 descent oracle (a lossy,
+# duplicated, or reordered write fails one side or the other).
+
+def q64_global_sorted(spark, sf_dir) -> DataFrame:
+    """Way cells written through the range-partitioned global sort and
+    read back; file-interval layout asserted in-gate."""
+    _prep(spark, sf_dir)
+    from .plans.sorted import (
+        assert_global_order, read_global_sorted, write_global_sorted,
+    )
+
+    wc = way_cells(_way_bbox_df(spark), 0.05, 18)
+    path = _gate_work_dir(spark, "global_sorted")
+    write_global_sorted(
+        wc.select("cell", "way_id"), path, ["cell", "way_id"],
+        num_partitions=8,
+    )
+    assert_global_order(spark, path, ["cell", "way_id"])
+    return read_global_sorted(spark, path).select("way_id", "cell")
+
+
 # --------------------------------------------------------------- registry
 
 GATE_QUERIES = {
@@ -4360,6 +4390,7 @@ GATE_QUERIES = {
     "q61_bucketed_way_cells": q61_bucketed_way_cells,
     "q62_media_audio": q62_media_audio,
     "q63_asof_join": q63_asof_join,
+    "q64_global_sorted": q64_global_sorted,
 }
 
 class _LazyOracles(dict):
@@ -4462,6 +4493,7 @@ GATE_ORACLES = _LazyOracles({
     "q61_bucketed_way_cells": q03_oracle(),
     "q62_media_audio": q62_oracle(),
     "q63_asof_join": q63_oracle(),
+    "q64_global_sorted": q03_oracle(),
 })
 
 
