@@ -4324,6 +4324,68 @@ def q64_global_sorted(spark, sf_dir) -> DataFrame:
     return read_global_sorted(spark, path).select("way_id", "cell")
 
 
+# q65: gap-based sessionization — Spark's native session_window (the
+# dynamic-gap cousin of q28's tumbling window; in Structured Streaming
+# the same expression runs with a watermark).  Boundary semantics pinned
+# empirically and in tests/test_session.py: an event exactly `gap` after
+# the previous one MERGES into the session (a new session starts only
+# when ts - prev_ts > gap, strictly), and session end = last_ts + gap.
+# The oracle is the classic gaps-and-islands formulation (lag + strict-
+# inequality break flag + cumulative sum), so the two agree only if the
+# merge rule, the boundary strictness, and the end-extension all match.
+# Aggregates are integer-only (count + id min/max) — float sums across a
+# nondeterministic partitioning would not hash stably.
+
+def q65_session_rollup(spark, sf_dir) -> DataFrame:
+    """30-minute-gap sessions per user over the events table."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start").cast("timestamp"))
+            .alias("session_start_us"),
+            F.unix_micros(F.col("w.end").cast("timestamp"))
+            .alias("session_end_us"),
+            "n", "min_id", "max_id",
+        )
+    )
+
+
+def q65_oracle() -> str:
+    return """
+with flagged as (
+  select user_id, ts, event_id,
+         case when ts - lag(ts) over (partition by user_id
+                                      order by ts, event_id)
+                   > interval 30 minute
+              then 1 else 0 end as brk
+  from events
+),
+sessions as (
+  select user_id, ts, event_id,
+         sum(brk) over (partition by user_id order by ts, event_id
+                        rows unbounded preceding) as sid
+  from flagged
+)
+select user_id,
+       epoch_us(min(ts)) as session_start_us,
+       epoch_us(max(ts) + interval 30 minute) as session_end_us,
+       count(*) as n,
+       min(event_id) as min_id,
+       max(event_id) as max_id
+from sessions
+group by user_id, sid"""
+
+
 # --------------------------------------------------------------- registry
 
 GATE_QUERIES = {
@@ -4391,6 +4453,7 @@ GATE_QUERIES = {
     "q62_media_audio": q62_media_audio,
     "q63_asof_join": q63_asof_join,
     "q64_global_sorted": q64_global_sorted,
+    "q65_session_rollup": q65_session_rollup,
 }
 
 class _LazyOracles(dict):
@@ -4494,6 +4557,7 @@ GATE_ORACLES = _LazyOracles({
     "q62_media_audio": q62_oracle(),
     "q63_asof_join": q63_oracle(),
     "q64_global_sorted": q03_oracle(),
+    "q65_session_rollup": q65_oracle(),
 })
 
 

@@ -235,6 +235,17 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols,
     key_cols = list(key_cols)
     right_cols = list(right_cols)
     tiebreak_cols = list(tiebreak_cols)
+    reserved = {"_ts", "_side", "_r", "_match"} | {
+        f"_tb{i}" for i in range(len(tiebreak_cols))
+    }
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"asof_join reserved column names in input: "
+                         f"{sorted(clash)}")
+    overlap = set(right_cols) & set(key_cols)
+    if overlap:
+        raise ValueError(f"right_cols duplicate key columns: "
+                         f"{sorted(overlap)}")
     payload = F.struct(*[F.col(c) for c in right_cols])
     left_keep = [c for c in left.columns
                  if c not in key_cols and c != left_ts]

@@ -77,6 +77,15 @@ def test_asof_rejects_bad_how(frames):
         asof_join(left, right, ["k"], "pts", "ts", ["val"], how="outer")
 
 
+def test_asof_rejects_reserved_and_overlapping_names(spark, frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="reserved column"):
+        asof_join(left.withColumnRenamed("pts", "_ts"), right,
+                  ["k"], "_ts", "ts", ["val"])
+    with pytest.raises(ValueError, match="duplicate key"):
+        asof_join(left, right, ["k"], "pts", "ts", ["k", "val"])
+
+
 def test_asof_single_shuffle_plan(frames):
     """The scale property: one Exchange on the key, no join operator at
     all (the union+window plan) — a range-join rewrite would show a
