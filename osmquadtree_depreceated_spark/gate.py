@@ -4386,6 +4386,43 @@ from sessions
 group by user_id, sid"""
 
 
+# q66: the broadcast as-of lookup — same question as q63 (newest event
+# at or before each probe), answered by the SMALL-dimension plan
+# (operators/update.py::asof_lookup): per-key history collapsed to a
+# sorted struct array, broadcast, higher-order filter + element_at(-1)
+# pick.  The fact side never shuffles.  Shares q63's oracle verbatim —
+# the two engine plans and the oracle must agree three ways.
+
+def q66_asof_lookup(spark, sf_dir) -> DataFrame:
+    _prep(spark, sf_dir)
+    from .operators.update import asof_lookup
+
+    ev = spark.table("events")
+    ts_type = ev.schema["ts"].dataType
+    probes = (
+        ev.select("user_id").distinct()
+        .select(
+            "user_id",
+            F.explode(F.array(*[
+                F.lit(p).cast(ts_type) for p in _Q63_PROBES
+            ])).alias("pts"),
+        )
+    )
+    joined = asof_lookup(
+        probes, ev.select("user_id", "ts", "event_id", "event_type",
+                          "value"),
+        key_cols=["user_id"], left_ts="pts", right_ts="ts",
+        right_cols=["event_id", "event_type", "value", "ts"],
+        tiebreak_cols=["event_id"],
+    )
+    return joined.select(
+        "user_id",
+        F.unix_micros(F.col("pts").cast("timestamp")).alias("probe_us"),
+        "event_id", "event_type", "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("event_us"),
+    )
+
+
 # --------------------------------------------------------------- registry
 
 GATE_QUERIES = {
@@ -4454,6 +4491,7 @@ GATE_QUERIES = {
     "q63_asof_join": q63_asof_join,
     "q64_global_sorted": q64_global_sorted,
     "q65_session_rollup": q65_session_rollup,
+    "q66_asof_lookup": q66_asof_lookup,
 }
 
 class _LazyOracles(dict):
@@ -4558,6 +4596,7 @@ GATE_ORACLES = _LazyOracles({
     "q63_asof_join": q63_oracle(),
     "q64_global_sorted": q03_oracle(),
     "q65_session_rollup": q65_oracle(),
+    "q66_asof_lookup": q63_oracle(),  # same question, broadcast plan
 })
 
 

@@ -291,6 +291,63 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols,
     )
 
 
+def asof_lookup(left: DataFrame, right_small: DataFrame, key_cols,
+                left_ts: str, right_ts: str, right_cols,
+                tiebreak_cols=(), how: str = "left") -> DataFrame:
+    """As-of join for a SMALL right side (a slowly-changing dimension):
+    value-identical to `asof_join`, but the big left side never
+    shuffles.  The dimension is collapsed to one row per key holding its
+    history as a SORTED array of (ts, *tiebreaks, payload) structs, that
+    tiny table is broadcast, and a higher-order `filter` + `element_at
+    (…, -1)` picks the newest entry at or before each probe — all
+    native expressions, zero exchanges on the fact table.  At 100 TB
+    this is the plan for enriching a fact stream against versioned
+    reference data: `asof_join`'s one shuffle moves the facts;
+    this moves only the dimension history.
+
+    Ties at equal right_ts resolve exactly as in `asof_join` (greatest
+    tiebreak tuple wins — the array sorts ascending and the pick takes
+    the last qualifying entry).  Per-key history must fit in one array
+    (the same bound a broadcast requires anyway)."""
+    key_cols = list(key_cols)
+    right_cols = list(right_cols)
+    tiebreak_cols = list(tiebreak_cols)
+    reserved = {"_entries", "_t", "_p", "_pick"} | {
+        f"_b{i}" for i in range(len(tiebreak_cols))
+    }
+    clash = reserved & (set(left.columns) | set(right_small.columns))
+    if clash:
+        raise ValueError(f"asof_lookup reserved column names in input: "
+                         f"{sorted(clash)}")
+    if set(right_cols) & set(key_cols):
+        raise ValueError("right_cols duplicate key columns")
+    entry = F.struct(
+        F.col(right_ts).alias("_t"),
+        *[F.col(c).alias(f"_b{i}") for i, c in enumerate(tiebreak_cols)],
+        F.struct(*[F.col(c) for c in right_cols]).alias("_p"),
+    )
+    dim = (
+        right_small.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list(entry)).alias("_entries"))
+    )
+    joined = left.join(F.broadcast(dim), key_cols, "left")
+    # try_element_at: an all-future history (or an unmatched key's NULL
+    # array) filters to empty and must yield NULL, not error
+    pick = F.try_element_at(
+        F.filter("_entries", lambda e: e["_t"] <= F.col(left_ts)),
+        F.lit(-1),
+    )
+    out = joined.withColumn("_pick", pick)
+    if how == "inner":
+        out = out.filter(F.col("_pick").isNotNull())
+    elif how != "left":
+        raise ValueError(f"unsupported how={how!r}")
+    return out.select(
+        *[c for c in left.columns],
+        *[F.col("_pick._p").getField(c).alias(c) for c in right_cols],
+    )
+
+
 def merge_changes(base: DataFrame, changes: DataFrame, key: str,
                   ct_col: str = "change_type", seq_col: str = "seq",
                   val_cols=("val",)) -> DataFrame:

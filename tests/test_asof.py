@@ -86,6 +86,47 @@ def test_asof_rejects_reserved_and_overlapping_names(spark, frames):
         asof_join(left, right, ["k"], "pts", "ts", ["k", "val"])
 
 
+def test_asof_lookup_matches_asof_join(frames):
+    """The broadcast small-dimension plan must give the identical answer
+    to the shuffle plan on every tricky case, both join modes."""
+    from osmquadtree_depreceated_spark.operators.update import asof_lookup
+
+    left, right = frames
+    for how in ("left", "inner"):
+        want, _ = _run(left, right, how=how)
+        out = asof_lookup(
+            left, right, key_cols=["k"], left_ts="pts", right_ts="ts",
+            right_cols=["event_id", "val", "ts"],
+            tiebreak_cols=["event_id"], how=how,
+        )
+        got = {(r.k, r.pts): (r.event_id, r.val, r.ts)
+               for r in out.collect()}
+        assert got == want, how
+
+
+def test_asof_lookup_broadcasts_and_never_shuffles_facts(frames):
+    from osmquadtree_depreceated_spark.operators.update import asof_lookup
+
+    left, right = frames
+    out = asof_lookup(left, right, ["k"], "pts", "ts", ["val"])
+    plan = (out._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the only hash-partitioned exchange is the DIMENSION history agg;
+    # the fact side goes straight from scan to broadcast-join
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_asof_lookup_rejects_reserved_names(frames):
+    from osmquadtree_depreceated_spark.operators.update import asof_lookup
+
+    left, right = frames
+    with pytest.raises(ValueError, match="reserved column"):
+        asof_lookup(left.withColumnRenamed("pts", "_pick"), right,
+                    ["k"], "_pick", "ts", ["val"])
+
+
 def test_asof_single_shuffle_plan(frames):
     """The scale property: one Exchange on the key, no join operator at
     all (the union+window plan) — a range-join rewrite would show a
