@@ -4423,6 +4423,63 @@ def q66_asof_lookup(spark, sf_dir) -> DataFrame:
     )
 
 
+# q67: the zoom-pyramid rollup — way cells (variable depth 4..18 from
+# the buffered bbox descent, so the per-row depth clamp is load-bearing)
+# aggregated at EVERY ancestor level 0..18.  The engine plan is
+# histogram-first (operators/tile_groups.py::tile_pyramid): collapse to
+# distinct cells, then explode the 19-wide ancestor array over the
+# histogram — the fan-out multiplies distinct cells, never input rows.
+# The oracle recomputes each level directly from the q03 way-cell SQL
+# (19 UNION ALL blocks over one waycells CTE), so a wrong rounding, a
+# missing depth clamp, or a partial-sum recombination bug all
+# hash-mismatch.
+
+def q67_tile_pyramid(spark, sf_dir) -> DataFrame:
+    """Per-(level, parent-cell) count + id-sum pyramid over q03 way
+    cells."""
+    _prep(spark, sf_dir)
+    from .operators.tile_groups import tile_pyramid
+
+    wc = way_cells(_way_bbox_df(spark), 0.05, 18)
+    return tile_pyramid(wc, "cell", 18, sum_cols=("way_id",))
+
+
+def q67_oracle() -> str:
+    blocks = []
+    for lvl in range(19):
+        pc = sqlgen.cell_round_sql(DUCK, "cell", lvl)
+        blocks.append(
+            f"select {lvl} as level, {pc} as pcell, count(*) as n,\n"
+            f"       cast(sum(way_id) as bigint) as sum_way_id\n"
+            f"from waycells where (cell & 31) >= {lvl} group by 1, 2"
+        )
+    # MATERIALIZED is load-bearing: 19 references into a derived table
+    # that itself chains 18 descent CTEs would otherwise be inlined per
+    # reference by DuckDB's optimizer (exponential expression blowup).
+    return (
+        "with waycells as materialized (select * from (\n"
+        + q03_oracle() + "\n) _wc)\n"
+        + "\nunion all\n".join(blocks)
+    )
+
+
+# q68: the SALTED two-phase way-bbox aggregation, value-verified.  The
+# salt path (way_bboxes(salt_buckets=8): explicit (way_id, pos % 8)
+# pre-reduce before the per-way min/max) exists for skewed assembly aggs
+# without partial push-down; until now it was only measured (round-3 A/B)
+# and pytested, never oracle-gated.  Same downstream descent and the
+# plain (unsalted) q03 oracle — a salt-key leak into the result, a lost
+# bucket, or a wrong recombination all fail the hash.
+
+def q68_way_cells_salted(spark, sf_dir) -> DataFrame:
+    """Way cells through the explicit salted pre-reduce (salt_buckets=8)."""
+    _prep(spark, sf_dir)
+    wb = way_bboxes(
+        spark.table("way_refs"), spark.table("nodes"), salt_buckets=8
+    )
+    return way_cells(wb, 0.05, 18)
+
+
 # --------------------------------------------------------------- registry
 
 GATE_QUERIES = {
@@ -4492,6 +4549,8 @@ GATE_QUERIES = {
     "q64_global_sorted": q64_global_sorted,
     "q65_session_rollup": q65_session_rollup,
     "q66_asof_lookup": q66_asof_lookup,
+    "q67_tile_pyramid": q67_tile_pyramid,
+    "q68_way_cells_salted": q68_way_cells_salted,
 }
 
 class _LazyOracles(dict):
@@ -4597,6 +4656,8 @@ GATE_ORACLES = _LazyOracles({
     "q64_global_sorted": q03_oracle(),
     "q65_session_rollup": q65_oracle(),
     "q66_asof_lookup": q63_oracle(),  # same question, broadcast plan
+    "q67_tile_pyramid": q67_oracle(),
+    "q68_way_cells_salted": q03_oracle(),  # salt must be invisible
 })
 
 

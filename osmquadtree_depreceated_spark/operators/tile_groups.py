@@ -254,3 +254,58 @@ def assign_groups(df: DataFrame, groups: DataFrame,
         .drop("_rk")
     )
     return df.join(best, cell_col, "left")
+
+
+def tile_pyramid(df: DataFrame, cell_col: str = "cell",
+                 max_level: int = 18, sum_cols: tuple = ()) -> DataFrame:
+    """Multi-level tile statistics: roll each row's cell up to EVERY
+    ancestor level 0..min(depth, max_level) and aggregate per
+    (level, parent cell) — the zoom-pyramid rollup a tile-serving layer
+    asks of the engine (the per-level generalization of the reference's
+    per-block element histogram, calcqts/qttree.go counting-tree input).
+
+    Output: (level int, pcell long, n long[, sum_<c> long per sum_cols]).
+    Rows whose cell is NULL or negative (the reference's "no cell"
+    sentinel, quadtree.go:206) are excluded.
+
+    Scale shape — histogram first, fan-out second: stage 1 collapses the
+    input to one row per DISTINCT cell (one keyed shuffle with map-side
+    partial aggregation, the same cost class as any histogram); stage 2
+    explodes the ≤(max_level+1)-wide ancestor array over that already-tiny
+    histogram and re-aggregates.  The 19× fan-out therefore multiplies the
+    distinct-cell count, never the row count — at 10^12 input rows the
+    second shuffle moves at most 19 × |distinct cells| partial rows.
+    All expressions are native (closed-form bit math via
+    functions.cells.cell_round); no Python touches the data path.
+    """
+    from ..functions.cells import cell_round
+
+    partial = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(c).alias(f"sum_{c}") for c in sum_cols
+    ]
+    base = (
+        df.where(F.col(cell_col).isNotNull() & (F.col(cell_col) >= 0))
+        .groupBy(F.col(cell_col).alias("_cell"))
+        .agg(*partial)
+    )
+    ancestors = F.array(*[
+        F.struct(
+            F.lit(lvl).alias("level"),
+            cell_round("_cell", lvl).alias("pcell"),
+        )
+        for lvl in range(max_level + 1)
+    ])
+    exploded = (
+        base.withColumn("_lp", F.explode(ancestors))
+        .where(F.col("_lp.level") <= F.col("_cell").bitwiseAND(F.lit(31)))
+    )
+    return (
+        exploded.groupBy(
+            F.col("_lp.level").alias("level"),
+            F.col("_lp.pcell").alias("pcell"),
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+        )
+    )
