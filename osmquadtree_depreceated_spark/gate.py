@@ -4480,6 +4480,61 @@ def q68_way_cells_salted(spark, sf_dir) -> DataFrame:
     return way_cells(wb, 0.05, 18)
 
 
+# q69: INCREMENTAL pyramid maintenance — apply the q33 node-change
+# batch to a materialized q67 pyramid touching only the AFFECTED ways:
+# render the change as a signed delta (-1 at each affected way's old
+# cell, +1 at its new cell — a dropped way simply has no +1 row), roll
+# the delta up with tile_pyramid(weight_col=...), fold it in with
+# pyramid_merge (union + one keyed re-agg, zero-count groups dropped).
+# The oracle is the FULL-recompute pyramid over the merged state (19
+# level blocks over the q33 full-recompute SQL), so a wrong sign, a
+# missed retraction at any ancestor level, a zero-group kept or a
+# live group dropped all hash-mismatch.
+
+def q69_pyramid_update(spark, sf_dir) -> DataFrame:
+    """Incrementally-maintained way-cell pyramid == full recompute."""
+    _prep(spark, sf_dir)
+    from .operators.tile_groups import pyramid_merge, tile_pyramid
+    from .operators.update import calc_update_tiles
+
+    nodes = spark.table("nodes")
+    way_refs = spark.table("way_refs")
+    wc = way_cells(_way_bbox_df(spark), 0.05, 18)
+    nc = node_cells(nodes, way_refs, wc, 0.05, 18)
+    base = tile_pyramid(wc, "cell", 18, sum_cols=("way_id",))
+
+    out = calc_update_tiles(nodes, way_refs, wc, nc,
+                            spark.sql(_NODE_CHANGES_SQL))
+    aff = out["affected_ways"]
+    old_rows = (wc.join(aff, "way_id", "left_semi")
+                .withColumn("_w", F.lit(-1)))
+    new_rows = (out["way_cells"].join(aff, "way_id", "left_semi")
+                .withColumn("_w", F.lit(1)))
+    delta = tile_pyramid(old_rows.unionByName(new_rows), "cell", 18,
+                         sum_cols=("way_id",), weight_col="_w")
+    return pyramid_merge(base, delta)
+
+
+def q69_oracle() -> str:
+    blocks = []
+    for lvl in range(19):
+        pc = sqlgen.cell_round_sql(DUCK, "cell", lvl)
+        blocks.append(
+            f"select {lvl} as level, {pc} as pcell, count(*) as n,\n"
+            f"       cast(sum(way_id) as bigint) as sum_way_id\n"
+            f"from mergedwc where (cell & 31) >= {lvl} group by 1, 2"
+        )
+    # MATERIALIZED for the same reason as q67 (19 references into the
+    # 18-level descent chain).  The inner SQL is q33's full recompute —
+    # the incremental pyramid must equal the pyramid of the full result.
+    return (
+        "with mergedwc as materialized (\n"
+        "  select id as way_id, cell from (\n" + q33_oracle()
+        + "\n) _m where etype = 'w')\n"
+        + "\nunion all\n".join(blocks)
+    )
+
+
 # --------------------------------------------------------------- registry
 
 GATE_QUERIES = {
@@ -4551,6 +4606,7 @@ GATE_QUERIES = {
     "q66_asof_lookup": q66_asof_lookup,
     "q67_tile_pyramid": q67_tile_pyramid,
     "q68_way_cells_salted": q68_way_cells_salted,
+    "q69_pyramid_update": q69_pyramid_update,
 }
 
 class _LazyOracles(dict):
@@ -4658,6 +4714,7 @@ GATE_ORACLES = _LazyOracles({
     "q66_asof_lookup": q63_oracle(),  # same question, broadcast plan
     "q67_tile_pyramid": q67_oracle(),
     "q68_way_cells_salted": q03_oracle(),  # salt must be invisible
+    "q69_pyramid_update": q69_oracle(),
 })
 
 

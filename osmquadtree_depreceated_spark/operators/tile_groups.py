@@ -257,7 +257,8 @@ def assign_groups(df: DataFrame, groups: DataFrame,
 
 
 def tile_pyramid(df: DataFrame, cell_col: str = "cell",
-                 max_level: int = 18, sum_cols: tuple = ()) -> DataFrame:
+                 max_level: int = 18, sum_cols: tuple = (),
+                 weight_col: str | None = None) -> DataFrame:
     """Multi-level tile statistics: roll each row's cell up to EVERY
     ancestor level 0..min(depth, max_level) and aggregate per
     (level, parent cell) — the zoom-pyramid rollup a tile-serving layer
@@ -277,12 +278,25 @@ def tile_pyramid(df: DataFrame, cell_col: str = "cell",
     second shuffle moves at most 19 × |distinct cells| partial rows.
     All expressions are native (closed-form bit math via
     functions.cells.cell_round); no Python touches the data path.
+
+    `weight_col` turns the pyramid SIGNED: n = sum(weight) and each
+    sum_<c> = sum(weight * c), so a change batch rendered as (-1 at the
+    old cell, +1 at the new cell) produces a DELTA pyramid that
+    `pyramid_merge` folds into a materialized base — the incremental
+    maintenance path (a retracted row subtracts exactly what its
+    insertion added, at every ancestor level).
     """
     from ..functions.cells import cell_round
 
-    partial = [F.count(F.lit(1)).alias("n")] + [
-        F.sum(c).alias(f"sum_{c}") for c in sum_cols
-    ]
+    if weight_col is None:
+        partial = [F.count(F.lit(1)).alias("n")] + [
+            F.sum(c).alias(f"sum_{c}") for c in sum_cols
+        ]
+    else:
+        w = F.col(weight_col)
+        partial = [F.sum(w).alias("n")] + [
+            F.sum(w * F.col(c)).alias(f"sum_{c}") for c in sum_cols
+        ]
     base = (
         df.where(F.col(cell_col).isNotNull() & (F.col(cell_col) >= 0))
         .groupBy(F.col(cell_col).alias("_cell"))
@@ -308,4 +322,30 @@ def tile_pyramid(df: DataFrame, cell_col: str = "cell",
             F.sum("n").alias("n"),
             *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
         )
+    )
+
+
+def pyramid_merge(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a signed delta pyramid (tile_pyramid(weight_col=...)) into a
+    materialized base pyramid: union + one keyed re-aggregation on
+    (level, pcell), dropping groups whose count reaches zero.
+
+    Scale shape: both inputs are already pyramid-sized (≤ levels ×
+    distinct cells, not data-sized), so the merge shuffle is tiny
+    relative to the data the base summarizes; over a cell-partitioned
+    stored pyramid the same statement is a MERGE INTO keyed on
+    (level, pcell) touching only the delta's partitions.  This is the
+    engine's incremental analogue of rewriting only the affected tiles
+    (update/update.go:343 FindTiles -> rewrite), applied to the serving
+    statistics instead of the tiles themselves.
+    """
+    sums = [c for c in base.columns if c.startswith("sum_")]
+    assert sums == [c for c in delta.columns if c.startswith("sum_")], (
+        base.columns, delta.columns)
+    return (
+        base.unionByName(delta.select(*base.columns))
+        .groupBy("level", "pcell")
+        .agg(F.sum("n").alias("n"),
+             *[F.sum(c).alias(c) for c in sums])
+        .where(F.col("n") > 0)
     )

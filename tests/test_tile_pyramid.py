@@ -89,3 +89,69 @@ def test_pyramid_plan_is_two_aggregates(spark):
     plan = tile_pyramid(df, "cell", 18)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pyramid_incremental_merge_equals_recompute(spark):
+    """Signed delta folded into a base pyramid == recompute over the
+    modified set, including zero-count group removal at every level."""
+    import numpy as np
+
+    from osmquadtree_depreceated_spark.operators.tile_groups import (
+        pyramid_merge,
+    )
+
+    rng = np.random.default_rng(23)
+    cells = []
+    for _ in range(200):
+        depth = int(rng.integers(1, 19))
+        quads = [int(q) for q in rng.integers(0, 4, depth)]
+        cells.append(_mk_cell(quads, depth))
+    rows = [(i, c) for i, c in enumerate(cells)]
+    df = spark.createDataFrame(rows, "id long, cell long")
+    base = tile_pyramid(df, "cell", 18, sum_cols=("id",))
+
+    # move 30 rows to new cells, delete 10, add 5 fresh rows
+    moved = rows[:30]
+    deleted = rows[30:40]
+    new_cells = [_mk_cell([int(q) for q in rng.integers(0, 4, 7)], 7)
+                 for _ in moved]
+    added = [(1000 + k, _mk_cell([int(q) for q in rng.integers(0, 4, 5)], 5))
+             for k in range(5)]
+
+    delta_rows = (
+        [(i, c, -1) for i, c in moved + deleted]
+        + [(i, nc, 1) for (i, _), nc in zip(moved, new_cells)]
+        + [(i, c, 1) for i, c in added]
+    )
+    delta_df = spark.createDataFrame(delta_rows, "id long, cell long, w int")
+    delta = tile_pyramid(delta_df, "cell", 18, sum_cols=("id",),
+                         weight_col="w")
+    merged = pyramid_merge(base, delta)
+
+    final_rows = ([(i, nc) for (i, _), nc in zip(moved, new_cells)]
+                  + rows[40:] + added)
+    want_df = tile_pyramid(
+        spark.createDataFrame(final_rows, "id long, cell long"),
+        "cell", 18, sum_cols=("id",),
+    )
+    got = {(r.level, r.pcell): (r.n, r.sum_id) for r in merged.collect()}
+    want = {(r.level, r.pcell): (r.n, r.sum_id) for r in want_df.collect()}
+    assert got == want
+
+
+def test_pyramid_merge_drops_zero_groups(spark):
+    """A group retracted to n=0 disappears entirely."""
+    from osmquadtree_depreceated_spark.operators.tile_groups import (
+        pyramid_merge,
+    )
+
+    c = _mk_cell([3, 1], 2)
+    base = tile_pyramid(
+        spark.createDataFrame([(7, c)], "id long, cell long"),
+        "cell", 18, sum_cols=("id",),
+    )
+    delta = tile_pyramid(
+        spark.createDataFrame([(7, c, -1)], "id long, cell long, w int"),
+        "cell", 18, sum_cols=("id",), weight_col="w",
+    )
+    assert pyramid_merge(base, delta).count() == 0
