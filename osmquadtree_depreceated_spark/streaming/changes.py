@@ -71,7 +71,8 @@ def stream_update_tiles(spark: SparkSession, store: SnapshotStore,
                         base_stage: str, way_refs: DataFrame,
                         stream_df: DataFrame, checkpoint_dir: str,
                         buffer: float = 0.05, max_level: int = 18,
-                        group_level: int = 12, transform=None):
+                        group_level: int = 12, transform=None,
+                        maintain_pyramid: bool = False):
     """STREAMING CalcUpdateTiles: each micro-batch of node changes runs the
     full incremental pipeline (operators/update.calc_update_tiles —
     merge/affected-set/cell-recompute, update.go:343-540) against the
@@ -88,7 +89,12 @@ def stream_update_tiles(spark: SparkSession, store: SnapshotStore,
     a binaryFile stream of .osc diffs through
     sources.osc.parse_osc_content + osc_node_changes).  Offsets
     checkpoint to `checkpoint_dir`; already-committed batch stages are
-    skipped on replay — both halves of exactly-once resume."""
+    skipped on replay — both halves of exactly-once resume.
+
+    `maintain_pyramid=True` additionally keeps the q69 serving-stats
+    pyramid current per batch (signed delta over the affected ways
+    folded into the latest `{base_stage}_pyr` snapshot, which must be
+    committed up front)."""
     from ..operators.update import calc_update_tiles
 
     def _apply(batch_df: DataFrame, batch_id: int):
@@ -111,6 +117,29 @@ def stream_update_tiles(spark: SparkSession, store: SnapshotStore,
                     out["node_cells"], "cell")
         store.write(spark, f"{base_stage}_tiles@s{batch_id}",
                     out["affected_tiles"], None)
+        if maintain_pyramid:
+            # serving-stats pyramid maintained per batch, q69-style:
+            # signed delta over ONLY the affected ways, folded into the
+            # latest committed pyramid (requires base `{base_stage}_pyr`
+            # committed up front).  Store writes are overwrite-idempotent,
+            # so a replayed batch self-heals like the other stages.
+            from pyspark.sql import functions as F
+
+            from ..operators.tile_groups import pyramid_merge, tile_pyramid
+
+            base_pyr = store.read(
+                spark, _latest_stage(store, f"{base_stage}_pyr"))
+            aff = out["affected_ways"]
+            old_rows = (wc.join(aff, "way_id", "left_semi")
+                        .withColumn("_w", F.lit(-1)))
+            new_rows = (out["way_cells"].join(aff, "way_id", "left_semi")
+                        .withColumn("_w", F.lit(1)))
+            delta = tile_pyramid(
+                old_rows.unionByName(new_rows), "cell", max_level,
+                sum_cols=("way_id",), weight_col="_w",
+            )
+            store.write(spark, f"{base_stage}_pyr@s{batch_id}",
+                        pyramid_merge(base_pyr, delta), "level")
         # nodes stage last: its presence marks the batch fully committed
         # (the skip guard above keys on it)
         store.write(spark, stage, out["nodes"], None)

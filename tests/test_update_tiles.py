@@ -116,11 +116,17 @@ def test_streaming_update_tiles_equals_full_recompute(spark, base, tmp_path):
         stream_update_tiles,
     )
 
+    from osmquadtree_depreceated_spark.operators.tile_groups import (
+        tile_pyramid,
+    )
+
     nodes, way_refs, wc, nc = base
     store = SnapshotStore(str(tmp_path / "store"))
     store.write(spark, "upd_nodes", nodes, None)
     store.write(spark, "upd_wc", wc, "cell")
     store.write(spark, "upd_nc", nc, "cell")
+    store.write(spark, "upd_pyr",
+                tile_pyramid(wc, "cell", 18, sum_cols=("way_id",)), "level")
 
     batches = [
         [(1, 1, "modify", -5_500_000, 505_500_000)],
@@ -146,7 +152,7 @@ def test_streaming_update_tiles_equals_full_recompute(spark, base, tmp_path):
     )
     q = stream_update_tiles(
         spark, store, "upd", way_refs, stream,
-        str(tmp_path / "ckpt"),
+        str(tmp_path / "ckpt"), maintain_pyramid=True,
     )
     q.awaitTermination(120)
 
@@ -183,6 +189,17 @@ def test_streaming_update_tiles_equals_full_recompute(spark, base, tmp_path):
     # per-batch affected-tile sets committed alongside
     for s in committed:
         assert store.has(f"upd_tiles@s{s}")
+        assert store.has(f"upd_pyr@s{s}")
+    # the incrementally-maintained pyramid equals a recompute over the
+    # final way-cell table (q69's rule, held across every batch)
+    from osmquadtree_depreceated_spark.streaming.changes import (
+        _latest_stage as _ls,
+    )
+
+    final_pyr = store.read(spark, _ls(store, "upd_pyr"))
+    want_pyr = tile_pyramid(final_wc, "cell", 18, sum_cols=("way_id",))
+    assert ({tuple(r) for r in final_pyr.collect()}
+            == {tuple(r) for r in want_pyr.collect()})
 
 
 def test_streaming_osc_wire_format_update_tiles(spark, base, tmp_path):
