@@ -4535,6 +4535,79 @@ def q69_oracle() -> str:
     )
 
 
+# q70: ANN serving over a REAL bucket-partitioned store — the q36
+# partition-pruning story applied to similarity search.  Embeddings are
+# written PARTITIONED BY a deterministic axis-sign LSH bucket (q23's
+# bucketing rule, so the oracle reproduces it in SQL with zero
+# floating-point work); the probe reads ONLY the queries' buckets
+# (PartitionFilters + runtime file-skip asserted in-gate) and scores
+# exact cosine within them (operators/ann.py::bucket_topk — broadcast
+# queries, native zip_with scoring).  The oracle joins on the same
+# bucket key and ranks with list_cosine_similarity.
+
+_Q70_PLANES = 4  # 16 buckets over 500 vectors -> ~31 candidates/bucket
+
+
+def q70_ann_lsh_partitioned(spark, sf_dir) -> DataFrame:
+    """Exact top-k within LSH buckets over a bucket-partitioned store,
+    with partition pruning asserted."""
+    _prep(spark, sf_dir)
+    from .operators.ann import axis_sign_bucket, bucket_topk
+    from .operators.dedup import axis_plane_indices
+
+    idx = axis_plane_indices(_Q70_PLANES, 1, 64, seed=42)[0]
+    emb = spark.table("embeddings")
+    bucket = axis_sign_bucket("embedding", idx)
+
+    path = _gate_work_dir(spark, "ann_lsh_store")
+    (emb.withColumn("bucket", bucket).repartition("bucket")
+        .write.partitionBy("bucket").mode("overwrite").parquet(path))
+    store = spark.read.parquet(path)
+
+    queries = (emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+               .withColumn("bucket", bucket))
+    probed = sorted({int(r["bucket"])
+                     for r in queries.select("bucket").distinct().collect()})
+    pruned = store.where(F.col("bucket").isin(probed))
+
+    # the prune must be REAL: the literal filter reaches the scan as a
+    # partition filter, and non-probed bucket directories are never read
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan[:2000]
+    n_all = store.select(F.input_file_name()).distinct().count()
+    n_read = pruned.select(F.input_file_name()).distinct().count()
+    assert n_read < n_all, (n_read, n_all)
+
+    return bucket_topk(queries, pruned, ANN_K)
+
+
+def q70_oracle() -> str:
+    from .operators.dedup import axis_plane_indices
+
+    idx = axis_plane_indices(_Q70_PLANES, 1, 64, seed=42)[0]
+    key = " + ".join(
+        f"(case when embedding[{int(i) + 1}] > 0 then {1 << p} else 0 end)"
+        for p, i in enumerate(idx)
+    )
+    return f"""
+with b as (
+  select vec_id, embedding, cast({key} as bigint) as bucket
+  from embeddings
+),
+q as (select vec_id as qid, embedding as qe, bucket as qb from b
+      where vec_id < {ANN_N_QUERIES})
+select qid as query_id, rank, neighbor_id from (
+  select q.qid, e.vec_id as neighbor_id,
+         row_number() over (
+           partition by q.qid
+           order by list_cosine_similarity(e.embedding, q.qe) desc,
+                    e.vec_id asc
+         ) as rank
+  from b e join q on e.bucket = q.qb
+  where e.vec_id <> q.qid
+) where rank <= {ANN_K}"""
+
+
 # --------------------------------------------------------------- registry
 
 GATE_QUERIES = {
@@ -4607,6 +4680,7 @@ GATE_QUERIES = {
     "q67_tile_pyramid": q67_tile_pyramid,
     "q68_way_cells_salted": q68_way_cells_salted,
     "q69_pyramid_update": q69_pyramid_update,
+    "q70_ann_lsh_partitioned": q70_ann_lsh_partitioned,
 }
 
 class _LazyOracles(dict):
@@ -4715,6 +4789,7 @@ GATE_ORACLES = _LazyOracles({
     "q67_tile_pyramid": q67_oracle(),
     "q68_way_cells_salted": q03_oracle(),  # salt must be invisible
     "q69_pyramid_update": q69_oracle(),
+    "q70_ann_lsh_partitioned": q70_oracle(),
 })
 
 

@@ -285,3 +285,65 @@ def ivf_topk_pruned(queries: DataFrame, candidates: DataFrame, k: int,
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id")
     )
+
+
+def axis_sign_bucket(vec_col: str, plane_idx) -> "F.Column":
+    """Axis-aligned sign-LSH bucket key as one native expression: bit p is
+    set iff coordinate plane_idx[p] is positive (the q23 bucketing rule,
+    dedup.axis_plane_indices — the shared literal index list is what makes
+    the key reproducible in SQL with zero floating-point summation)."""
+    terms = " + ".join(
+        f"(case when element_at({vec_col}, {int(i) + 1}) > 0 "
+        f"then {1 << p} else 0 end)"
+        for p, i in enumerate(plane_idx)
+    )
+    return F.expr(f"cast({terms} as bigint)")
+
+
+def bucket_topk(queries: DataFrame, store: DataFrame, k: int,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                qid_col: str = "vec_id",
+                bucket_col: str = "bucket") -> DataFrame:
+    """Exact cosine top-k WITHIN each query's LSH bucket over a stored
+    candidate table: broadcast the (tiny) query set, equi-join on the
+    bucket key, score with native zip_with/aggregate expressions, rank
+    per query.
+
+    Scale shape: with the store PARTITIONED BY the bucket key, the
+    probe's isin/equi filter prunes partitions — only probed buckets are
+    read at all (gate q70 asserts PartitionFilters + runtime file
+    skipping), the candidates never shuffle (BroadcastHashJoin), and no
+    Python touches the scoring path.  This is the deterministic-bucket
+    cousin of ivf_topk_pruned (same serving plan, hash buckets instead
+    of learned centroids — no training pass, coarser recall)."""
+    q = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+        F.col(bucket_col).cast("bigint").alias(bucket_col),
+    )
+    dot = (
+        f"aggregate(zip_with(cast({vec_col} as array<double>), qvec, "
+        f"(x, y) -> x * y), 0D, (acc, e) -> acc + e)"
+    )
+    nrm_c = (
+        f"sqrt(aggregate(transform(cast({vec_col} as array<double>), "
+        f"x -> x * x), 0D, (acc, e) -> acc + e))"
+    )
+    nrm_q = ("sqrt(aggregate(transform(qvec, x -> x * x), 0D, "
+             "(acc, e) -> acc + e))")
+    scored = (
+        store.withColumn(bucket_col, F.col(bucket_col).cast("bigint"))
+        .join(broadcast(q), bucket_col)
+        .withColumn("cos", F.expr(
+            f"({dot}) / greatest(({nrm_c}) * ({nrm_q}), 1e-12)"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
