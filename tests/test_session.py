@@ -89,3 +89,82 @@ def test_exact_gap_merges_and_one_us_past_splits(spark):
 
 def test_oracle_formulation_matches_spark_exactly(spark):
     assert _spark_sessions(spark) == _oracle_sessions()
+
+
+def test_streaming_session_window_merges_across_batches(spark, tmp_path):
+    """q65's production form: session_window in a REAL stream (file
+    source, availableNow, append mode).  An open session whose events
+    span two micro-batches must merge through the state store — a
+    stateless per-batch sessionization would emit it twice.  A far-future
+    sentinel batch pushes the watermark so every real session finalizes
+    and emits."""
+    import os
+    import time
+    import uuid
+
+    batches = [
+        [(1, "2024-01-01 00:00:00", 1), (1, "2024-01-01 00:20:00", 2),
+         (2, "2024-01-01 00:00:00", 10)],
+        # event 3 lands 20min after event 2 -> SAME session, new batch
+        [(1, "2024-01-01 00:40:00", 3), (1, "2024-01-01 02:00:00", 4),
+         (2, "2024-01-01 03:00:00", 11)],
+        [(999, "2034-01-01 00:00:00", 99)],  # watermark sentinel
+    ]
+    schema = "user_id long, ts string, event_id long"
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    t0 = time.time()
+    for i, rows in enumerate(batches):
+        d = feed / f"b{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(d))
+        # file stream orders by mtime ONLY — pin them well apart
+        for fn in os.listdir(d):
+            os.utime(d / fn, (t0 + 100 * i, t0 + 100 * i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed / "*"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+    )
+    sess = (
+        stream.groupBy("user_id",
+                       F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("event_id").alias("min_id"),
+             F.max("event_id").alias("max_id"))
+        .select("user_id",
+                F.unix_micros("w.start").alias("s"),
+                F.unix_micros("w.end").alias("e"),
+                "n", "min_id", "max_id")
+    )
+    qname = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (sess.writeStream.outputMode("append").format("memory")
+         .queryName(qname)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table(qname).collect()
+           if r.user_id != 999}
+
+    batch_df = spark.createDataFrame(
+        [r for b in batches[:2] for r in b], schema
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    want_df = (
+        batch_df.groupBy("user_id",
+                         F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("event_id").alias("min_id"),
+             F.max("event_id").alias("max_id"))
+        .select("user_id",
+                F.unix_micros("w.start").alias("s"),
+                F.unix_micros("w.end").alias("e"),
+                "n", "min_id", "max_id")
+    )
+    want = {tuple(r) for r in want_df.collect()}
+    assert got == want
+    # the cross-batch merge is present: user 1's first session holds
+    # events 1,2 (batch 0) AND 3 (batch 1) as ONE row
+    assert (1, 1704067200000000, 1704071400000000, 3, 1, 3) in got
