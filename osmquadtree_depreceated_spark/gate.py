@@ -3906,17 +3906,20 @@ merged_nodes as (
 )"""
 
 
-def q59_streaming_update_tiles(spark, sf_dir) -> DataFrame:
-    """Streaming CalcUpdateTiles: three change micro-batches through a
-    real file stream + foreachBatch incremental pipeline with snapshot
-    commits; the FINAL committed cell tables must equal one full
-    recompute over the fully-merged input (the q33 rule)."""
+def _q59_stream_run(spark, sf_dir):
+    """Shared streaming run behind q59 (cell tables) and q71 (pyramid).
+
+    Idempotent per session: the foreachBatch skip guard + the store's
+    overwrite-idempotent writes let whichever gate runs first do the
+    work; the other re-enters, its stream skips every committed batch,
+    and it reads the same final snapshots.  Returns the SnapshotStore."""
     _prep(spark, sf_dir)
     import os
     import uuid
 
+    from .operators.tile_groups import tile_pyramid
     from .plans.lineage import SnapshotStore
-    from .streaming.changes import _latest_stage, stream_update_tiles
+    from .streaming.changes import stream_update_tiles
 
     tag = uuid.uuid5(uuid.NAMESPACE_URL, sf_dir).hex[:8]
     work = _gate_work_dir(spark, f"stream_upd_{tag}")
@@ -3930,6 +3933,12 @@ def q59_streaming_update_tiles(spark, sf_dir) -> DataFrame:
         store.write(spark, "updg_nodes", nodes, None)
         store.write(spark, "updg_wc",
                     way_cells(_way_bbox_df(spark), 0.05, 18), "cell")
+        store.write(
+            spark, "updg_pyr",
+            tile_pyramid(store.read(spark, "updg_wc"), "cell", 18,
+                         sum_cols=("way_id",)),
+            "level",
+        )
         store.write(
             spark, "updg_nc",
             node_cells(nodes, way_refs,
@@ -3963,7 +3972,7 @@ def q59_streaming_update_tiles(spark, sf_dir) -> DataFrame:
     )
     q = stream_update_tiles(
         spark, store, "updg", way_refs, stream,
-        os.path.join(work, "ckpt"),
+        os.path.join(work, "ckpt"), maintain_pyramid=True,
     )
     if not q.awaitTermination(600):
         q.stop()
@@ -3977,6 +3986,17 @@ def q59_streaming_update_tiles(spark, sf_dir) -> DataFrame:
             f"q59: expected 3 committed streaming batches, got "
             f"{committed} — the stream did not apply every wave"
         )
+    return store
+
+
+def q59_streaming_update_tiles(spark, sf_dir) -> DataFrame:
+    """Streaming CalcUpdateTiles: three change micro-batches through a
+    real file stream + foreachBatch incremental pipeline with snapshot
+    commits; the FINAL committed cell tables must equal one full
+    recompute over the fully-merged input (the q33 rule)."""
+    from .streaming.changes import _latest_stage
+
+    store = _q59_stream_run(spark, sf_dir)
     final_wc = store.read(spark, _latest_stage(store, "updg_wc"))
     final_nc = store.read(spark, _latest_stage(store, "updg_nc"))
     return (
@@ -3994,6 +4014,43 @@ def q59_streaming_update_tiles(spark, sf_dir) -> DataFrame:
 
 def q59_oracle() -> str:
     return _update_tiles_oracle(_MERGED_NODES_SEQ_CTE)
+
+
+# q71: the STREAMED serving-stats pyramid, value-gated.  q59's stream
+# now maintains the pyramid snapshot per micro-batch (the q69 signed
+# delta folded in by streaming/changes.py under maintain_pyramid); this
+# gate reads the FINAL pyramid stage and must equal the full-recompute
+# pyramid over the fully-merged state — three batches of incremental
+# signed folds, end-to-end through the real file stream, with zero
+# drift at any ancestor level.  Oracle = q69's 19-level blocks over
+# q59's full-recompute SQL.
+
+def q71_streaming_pyramid(spark, sf_dir) -> DataFrame:
+    """Final streamed pyramid snapshot == full recompute over the merged
+    state."""
+    from .streaming.changes import _latest_stage
+
+    store = _q59_stream_run(spark, sf_dir)
+    return store.read(spark, _latest_stage(store, "updg_pyr")).select(
+        "level", "pcell", "n", "sum_way_id"
+    )
+
+
+def q71_oracle() -> str:
+    blocks = []
+    for lvl in range(19):
+        pc = sqlgen.cell_round_sql(DUCK, "cell", lvl)
+        blocks.append(
+            f"select {lvl} as level, {pc} as pcell, count(*) as n,\n"
+            f"       cast(sum(way_id) as bigint) as sum_way_id\n"
+            f"from mergedwc where (cell & 31) >= {lvl} group by 1, 2"
+        )
+    return (
+        "with mergedwc as materialized (\n"
+        "  select id as way_id, cell from (\n" + q59_oracle()
+        + "\n) _m where etype = 'w')\n"
+        + "\nunion all\n".join(blocks)
+    )
 
 
 # q56: BYTE semantics of the reference's string quirks over MULTIBYTE
@@ -4681,6 +4738,7 @@ GATE_QUERIES = {
     "q68_way_cells_salted": q68_way_cells_salted,
     "q69_pyramid_update": q69_pyramid_update,
     "q70_ann_lsh_partitioned": q70_ann_lsh_partitioned,
+    "q71_streaming_pyramid": q71_streaming_pyramid,
 }
 
 class _LazyOracles(dict):
@@ -4790,6 +4848,7 @@ GATE_ORACLES = _LazyOracles({
     "q68_way_cells_salted": q03_oracle(),  # salt must be invisible
     "q69_pyramid_update": q69_oracle(),
     "q70_ann_lsh_partitioned": q70_oracle(),
+    "q71_streaming_pyramid": q71_oracle(),
 })
 
 

@@ -21,6 +21,7 @@ _STREAMING = {
     "q51_streaming_rollup",
     "q57_streaming_stateful",
     "q59_streaming_update_tiles",
+    "q71_streaming_pyramid",
 }
 
 # building these executes eager bucketed saveAsTable writes (both join
