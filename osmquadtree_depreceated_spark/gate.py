@@ -4037,19 +4037,11 @@ def q71_streaming_pyramid(spark, sf_dir) -> DataFrame:
 
 
 def q71_oracle() -> str:
-    blocks = []
-    for lvl in range(19):
-        pc = sqlgen.cell_round_sql(DUCK, "cell", lvl)
-        blocks.append(
-            f"select {lvl} as level, {pc} as pcell, count(*) as n,\n"
-            f"       cast(sum(way_id) as bigint) as sum_way_id\n"
-            f"from mergedwc where (cell & 31) >= {lvl} group by 1, 2"
-        )
     return (
         "with mergedwc as materialized (\n"
         "  select id as way_id, cell from (\n" + q59_oracle()
         + "\n) _m where etype = 'w')\n"
-        + "\nunion all\n".join(blocks)
+        + _pyramid_oracle_blocks("mergedwc")
     )
 
 
@@ -4501,22 +4493,32 @@ def q67_tile_pyramid(spark, sf_dir) -> DataFrame:
     return tile_pyramid(wc, "cell", 18, sum_cols=("way_id",))
 
 
-def q67_oracle() -> str:
+def _pyramid_oracle_blocks(src: str) -> str:
+    """The 19 per-level rollup blocks over a (way_id, cell) CTE named
+    `src` — one shared recipe for q67/q69/q71.  `cell >= 0` mirrors
+    tile_pyramid's no-cell-sentinel exclusion (today's gated inputs never
+    emit -1, but the oracle must carry the operator's contract so a
+    reuse over relation cells — which DO use -1 — stays correct)."""
     blocks = []
     for lvl in range(19):
         pc = sqlgen.cell_round_sql(DUCK, "cell", lvl)
         blocks.append(
             f"select {lvl} as level, {pc} as pcell, count(*) as n,\n"
             f"       cast(sum(way_id) as bigint) as sum_way_id\n"
-            f"from waycells where (cell & 31) >= {lvl} group by 1, 2"
+            f"from {src} where cell >= 0 and (cell & 31) >= {lvl} "
+            f"group by 1, 2"
         )
+    return "\nunion all\n".join(blocks)
+
+
+def q67_oracle() -> str:
     # MATERIALIZED is load-bearing: 19 references into a derived table
     # that itself chains 18 descent CTEs would otherwise be inlined per
     # reference by DuckDB's optimizer (exponential expression blowup).
     return (
         "with waycells as materialized (select * from (\n"
         + q03_oracle() + "\n) _wc)\n"
-        + "\nunion all\n".join(blocks)
+        + _pyramid_oracle_blocks("waycells")
     )
 
 
@@ -4551,7 +4553,9 @@ def q68_way_cells_salted(spark, sf_dir) -> DataFrame:
 def q69_pyramid_update(spark, sf_dir) -> DataFrame:
     """Incrementally-maintained way-cell pyramid == full recompute."""
     _prep(spark, sf_dir)
-    from .operators.tile_groups import pyramid_merge, tile_pyramid
+    from .operators.tile_groups import (
+        pyramid_delta, pyramid_merge, tile_pyramid,
+    )
     from .operators.update import calc_update_tiles
 
     nodes = spark.table("nodes")
@@ -4562,25 +4566,12 @@ def q69_pyramid_update(spark, sf_dir) -> DataFrame:
 
     out = calc_update_tiles(nodes, way_refs, wc, nc,
                             spark.sql(_NODE_CHANGES_SQL))
-    aff = out["affected_ways"]
-    old_rows = (wc.join(aff, "way_id", "left_semi")
-                .withColumn("_w", F.lit(-1)))
-    new_rows = (out["way_cells"].join(aff, "way_id", "left_semi")
-                .withColumn("_w", F.lit(1)))
-    delta = tile_pyramid(old_rows.unionByName(new_rows), "cell", 18,
-                         sum_cols=("way_id",), weight_col="_w")
+    delta = pyramid_delta(wc, out["way_cells"], out["affected_ways"],
+                          "way_id", "cell", 18, sum_cols=("way_id",))
     return pyramid_merge(base, delta)
 
 
 def q69_oracle() -> str:
-    blocks = []
-    for lvl in range(19):
-        pc = sqlgen.cell_round_sql(DUCK, "cell", lvl)
-        blocks.append(
-            f"select {lvl} as level, {pc} as pcell, count(*) as n,\n"
-            f"       cast(sum(way_id) as bigint) as sum_way_id\n"
-            f"from mergedwc where (cell & 31) >= {lvl} group by 1, 2"
-        )
     # MATERIALIZED for the same reason as q67 (19 references into the
     # 18-level descent chain).  The inner SQL is q33's full recompute —
     # the incremental pyramid must equal the pyramid of the full result.
@@ -4588,7 +4579,7 @@ def q69_oracle() -> str:
         "with mergedwc as materialized (\n"
         "  select id as way_id, cell from (\n" + q33_oracle()
         + "\n) _m where etype = 'w')\n"
-        + "\nunion all\n".join(blocks)
+        + _pyramid_oracle_blocks("mergedwc")
     )
 
 
@@ -4627,13 +4618,26 @@ def q70_ann_lsh_partitioned(spark, sf_dir) -> DataFrame:
                      for r in queries.select("bucket").distinct().collect()})
     pruned = store.where(F.col("bucket").isin(probed))
 
-    # the prune must be REAL: the literal filter reaches the scan as a
-    # partition filter, and non-probed bucket directories are never read
+    # the prune must be REAL: the bucket predicate itself must appear
+    # INSIDE the scan's PartitionFilters list (the bare substring
+    # "PartitionFilters" is vacuous — FileSourceScanExec prints an empty
+    # "PartitionFilters: []" on every parquet scan), and the runtime
+    # file set must be EXACTLY the probed buckets' data files
     plan = pruned._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan, plan[:2000]
+    seg = plan.split("PartitionFilters: [", 1)
+    assert len(seg) == 2 and "bucket" in seg[1].split("]", 1)[0], \
+        plan[:2000]
+    import os as _os
+
+    expected = sum(
+        sum(1 for fn in _os.listdir(_os.path.join(path, f"bucket={b}"))
+            if fn.endswith(".parquet"))
+        for b in probed
+        if _os.path.isdir(_os.path.join(path, f"bucket={b}"))
+    )
     n_all = store.select(F.input_file_name()).distinct().count()
     n_read = pruned.select(F.input_file_name()).distinct().count()
-    assert n_read < n_all, (n_read, n_all)
+    assert n_read == expected < n_all, (n_read, expected, n_all)
 
     return bucket_topk(queries, pruned, ANN_K)
 

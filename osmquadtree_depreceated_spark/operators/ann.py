@@ -263,19 +263,34 @@ def ivf_topk_pruned(queries: DataFrame, candidates: DataFrame, k: int,
         pairs, "query_id long, ivf_cell int, qvec array<double>"
     )
 
-    dot = (
-        "aggregate(zip_with(cast({v} as array<double>), qvec, "
-        "(x, y) -> x * y), 0D, (acc, e) -> acc + e)"
-    ).format(v=vec_col)
-    nrm = (
-        "sqrt(aggregate(transform(cast({v} as array<double>), "
-        "x -> x * x), 0D, (acc, e) -> acc + e))"
-    ).format(v=vec_col)
+    # qvec arrives pre-normalized (driver numpy above), so the cosine
+    # denominator is the candidate norm alone
     scored = (
         assigned.join(broadcast(probe_df), "ivf_cell")
-        .withColumn("cos", F.expr(f"({dot}) / greatest({nrm}, 1e-12)"))
+        .withColumn("cos", F.expr(
+            f"({_dot_sql(vec_col)}) / "
+            f"greatest({_norm_sql(vec_col)}, 1e-12)"))
         .select("query_id", F.col(id_col).alias("neighbor_id"), "cos")
     )
+    return _rank_topk(scored, k)
+
+
+def _dot_sql(vec_col: str, qvec: str = "qvec") -> str:
+    """Native dot product of a candidate vector column and the joined
+    query vector — sequential left fold, zero Python in the hot path."""
+    return (f"aggregate(zip_with(cast({vec_col} as array<double>), "
+            f"{qvec}, (x, y) -> x * y), 0D, (acc, e) -> acc + e)")
+
+
+def _norm_sql(vec_expr: str) -> str:
+    """Native L2 norm of an array expression."""
+    return (f"sqrt(aggregate(transform(cast({vec_expr} as array<double>), "
+            f"x -> x * x), 0D, (acc, e) -> acc + e))")
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared tail of every top-k scorer: drop self-matches, rank per
+    query by (cos desc, neighbor asc), keep the top k."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
@@ -321,29 +336,14 @@ def bucket_topk(queries: DataFrame, store: DataFrame, k: int,
         F.col(vec_col).cast("array<double>").alias("qvec"),
         F.col(bucket_col).cast("bigint").alias(bucket_col),
     )
-    dot = (
-        f"aggregate(zip_with(cast({vec_col} as array<double>), qvec, "
-        f"(x, y) -> x * y), 0D, (acc, e) -> acc + e)"
-    )
-    nrm_c = (
-        f"sqrt(aggregate(transform(cast({vec_col} as array<double>), "
-        f"x -> x * x), 0D, (acc, e) -> acc + e))"
-    )
-    nrm_q = ("sqrt(aggregate(transform(qvec, x -> x * x), 0D, "
-             "(acc, e) -> acc + e))")
+    # raw (unnormalized) query vectors here, so both norms divide —
+    # unlike ivf_topk_pruned, whose driver pre-normalizes its probes
     scored = (
         store.withColumn(bucket_col, F.col(bucket_col).cast("bigint"))
         .join(broadcast(q), bucket_col)
         .withColumn("cos", F.expr(
-            f"({dot}) / greatest(({nrm_c}) * ({nrm_q}), 1e-12)"))
+            f"({_dot_sql(vec_col)}) / greatest(({_norm_sql(vec_col)}) * "
+            f"({_norm_sql('qvec')}), 1e-12)"))
         .select("query_id", F.col(id_col).alias("neighbor_id"), "cos")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id")
-    )
+    return _rank_topk(scored, k)

@@ -349,3 +349,22 @@ def pyramid_merge(base: DataFrame, delta: DataFrame) -> DataFrame:
              *[F.sum(c).alias(c) for c in sums])
         .where(F.col("n") > 0)
     )
+
+
+def pyramid_delta(old_rows: DataFrame, new_rows: DataFrame,
+                  affected: DataFrame, key_col: str = "way_id",
+                  cell_col: str = "cell", max_level: int = 18,
+                  sum_cols: tuple = ()) -> DataFrame:
+    """The signed delta pyramid of a change batch: -1 at each affected
+    key's old cell, +1 at its new cell (a dropped key simply has no +1
+    row, an added key no -1 row).  `old_rows`/`new_rows` are the pre-
+    and post-change (key, cell) tables; `affected` the (key_col) set the
+    change touched — both sides are restricted to it, so the delta's
+    cost scales with the change, not the base.  One shared recipe for
+    the batch gate (q69) and the streaming maintenance path."""
+    old_d = (old_rows.join(affected, key_col, "left_semi")
+             .withColumn("_w", F.lit(-1)))
+    new_d = (new_rows.join(affected, key_col, "left_semi")
+             .withColumn("_w", F.lit(1)))
+    return tile_pyramid(old_d.unionByName(new_d), cell_col, max_level,
+                        sum_cols=sum_cols, weight_col="_w")

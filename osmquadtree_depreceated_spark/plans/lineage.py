@@ -85,7 +85,22 @@ class SnapshotStore:
         per-partition lineage rows, then atomically commit the manifest."""
         t0 = time.time()
         data_dir = self._data_dir(stage)
+        if os.path.isdir(data_dir) and os.listdir(data_dir):
+            # overwrite of an EXISTING stage = the replay/self-heal
+            # window, where df's lazy plan may read the very files this
+            # overwrite is about to delete (a replayed batch derives its
+            # outputs from the stage it previously committed).  Eagerly
+            # materialize the plan while the old files still exist, so
+            # the write neither dies FILE_NOT_EXIST nor silently re-reads
+            # half-overwritten data.  Paid only on overwrites; on a real
+            # cluster prefer a reliable checkpoint dir to localCheckpoint
+            # if executor loss during recovery is a concern.
+            df = df.localCheckpoint(eager=True)
         df.write.mode("overwrite").parquet(data_dir)
+        # drop the shared file-index cache entry for the path — a reader
+        # that listed the pre-overwrite files would otherwise die
+        # FILE_NOT_EXIST on the deleted parts
+        spark.catalog.refreshByPath(data_dir)
         written = spark.read.parquet(data_dir)
 
         lineage = partition_lineage(written, cell_col)

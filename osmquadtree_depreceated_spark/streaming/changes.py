@@ -111,6 +111,20 @@ def stream_update_tiles(spark: SparkSession, store: SnapshotStore,
             nodes, way_refs, wc, nc, batch_df,
             buffer=buffer, max_level=max_level, group_level=group_level,
         )
+        if store.has(f"{base_stage}_wc@s{batch_id}"):
+            # REPLAY of a crashed batch: the latest wc/nc stages are this
+            # batch's own committed outputs, so every `out` plan reads
+            # the very files the re-writes below overwrite.  Materialize
+            # them while the old files still exist; the writes then can
+            # neither die FILE_NOT_EXIST nor re-read half-overwritten
+            # data.  First attempts (inputs = previous batch's stages)
+            # skip this — no extra cost on the happy path.
+            out = {
+                k: (v.localCheckpoint(eager=True)
+                    if k in ("nodes", "way_cells", "node_cells",
+                             "affected_tiles", "affected_ways") else v)
+                for k, v in out.items()
+            }
         store.write(spark, f"{base_stage}_wc@s{batch_id}",
                     out["way_cells"], "cell")
         store.write(spark, f"{base_stage}_nc@s{batch_id}",
@@ -119,27 +133,36 @@ def stream_update_tiles(spark: SparkSession, store: SnapshotStore,
                     out["affected_tiles"], None)
         if maintain_pyramid:
             # serving-stats pyramid maintained per batch, q69-style:
-            # signed delta over ONLY the affected ways, folded into the
-            # latest committed pyramid (requires base `{base_stage}_pyr`
-            # committed up front).  Store writes are overwrite-idempotent,
-            # so a replayed batch self-heals like the other stages.
-            from pyspark.sql import functions as F
+            # the signed affected-way delta (operators/tile_groups.py::
+            # pyramid_delta) folded into the latest committed pyramid
+            # (requires base `{base_stage}_pyr` committed up front).
+            #
+            # The OLD-side baseline is the wc stage PAIRED with the
+            # pyramid's own latest stage — NOT the global latest wc: on a
+            # crash-replay after wc@s{b} committed but pyr@s{b} didn't,
+            # the global latest wc is already the post-batch table and a
+            # delta against it would net to zero, silently dropping the
+            # batch from the pyramid forever.  The paired read keeps the
+            # replay delta identical to the first attempt (and a replay
+            # after BOTH committed folds a zero delta onto pyr@s{b} —
+            # overwrite-idempotent self-heal).  Both sides read the
+            # already-materialized parquet stages, so the delta job never
+            # re-runs the update DAG.
+            from ..operators.tile_groups import pyramid_delta, pyramid_merge
 
-            from ..operators.tile_groups import pyramid_merge, tile_pyramid
-
-            base_pyr = store.read(
-                spark, _latest_stage(store, f"{base_stage}_pyr"))
-            aff = out["affected_ways"]
-            old_rows = (wc.join(aff, "way_id", "left_semi")
-                        .withColumn("_w", F.lit(-1)))
-            new_rows = (out["way_cells"].join(aff, "way_id", "left_semi")
-                        .withColumn("_w", F.lit(1)))
-            delta = tile_pyramid(
-                old_rows.unionByName(new_rows), "cell", max_level,
-                sum_cols=("way_id",), weight_col="_w",
+            pyr_stage = _latest_stage(store, f"{base_stage}_pyr")
+            suffix = pyr_stage[len(f"{base_stage}_pyr"):]
+            wc_baseline = store.read(spark, f"{base_stage}_wc{suffix}")
+            wc_after = store.read(spark, f"{base_stage}_wc@s{batch_id}")
+            delta = pyramid_delta(
+                wc_baseline.select("way_id", "cell"),
+                wc_after.select("way_id", "cell"),
+                out["affected_ways"], "way_id", "cell", max_level,
+                sum_cols=("way_id",),
             )
             store.write(spark, f"{base_stage}_pyr@s{batch_id}",
-                        pyramid_merge(base_pyr, delta), "level")
+                        pyramid_merge(store.read(spark, pyr_stage), delta),
+                        "level")
         # nodes stage last: its presence marks the batch fully committed
         # (the skip guard above keys on it)
         store.write(spark, stage, out["nodes"], None)

@@ -298,3 +298,59 @@ def test_missing_node_cap(spark):
     with pytest.raises(RuntimeError, match="missing nodes"):
         calc_update_tiles(nodes, way_refs, wc, nc, changes,
                           missing_node_cap=1)
+
+
+def test_streaming_pyramid_survives_replay_after_wc_commit(
+        spark, base, tmp_path):
+    """Crash-replay hole regression: if a batch's wc@s0 stage committed
+    but the pyramid stage (and the nodes commit marker) did not, the
+    replay must compute the delta against the wc stage PAIRED with the
+    pyramid's latest stage — a delta against the global-latest wc (the
+    already-post-batch wc@s0) nets to zero and silently drops the batch
+    from the pyramid forever."""
+    import time
+
+    from osmquadtree_depreceated_spark.operators.tile_groups import (
+        tile_pyramid,
+    )
+    from osmquadtree_depreceated_spark.plans.lineage import SnapshotStore
+    from osmquadtree_depreceated_spark.streaming.changes import (
+        _latest_stage,
+        stream_update_tiles,
+    )
+
+    nodes, way_refs, wc, nc = base
+    store = SnapshotStore(str(tmp_path / "store"))
+    store.write(spark, "rep_nodes", nodes, None)
+    store.write(spark, "rep_wc", wc, "cell")
+    store.write(spark, "rep_nc", nc, "cell")
+    store.write(spark, "rep_pyr",
+                tile_pyramid(wc, "cell", 18, sum_cols=("way_id",)),
+                "level")
+
+    rows = [(1, 1, "modify", -5_500_000, 505_500_000),
+            (7, 1, "delete", None, None)]
+    schema = "node_id long, seq long, change_type string, lon long, lat long"
+    ch = spark.createDataFrame(rows, schema)
+
+    # simulate the crash window: the batch's post-change wc stage is
+    # already committed, the pyramid stage and the nodes marker are not
+    out = calc_update_tiles(nodes, way_refs, wc, nc, ch)
+    store.write(spark, "rep_wc@s0", out["way_cells"], "cell")
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    ch.coalesce(1).write.parquet(str(feed / "b0"))
+    time.sleep(0.05)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(feed / "*")))
+    q = stream_update_tiles(spark, store, "rep", way_refs, stream,
+                            str(tmp_path / "ckpt"), maintain_pyramid=True)
+    assert q.awaitTermination(120)
+    assert store.has("rep_nodes@s0")
+
+    got = {tuple(r) for r in store.read(
+        spark, _latest_stage(store, "rep_pyr")).collect()}
+    want = {tuple(r) for r in tile_pyramid(
+        out["way_cells"], "cell", 18, sum_cols=("way_id",)).collect()}
+    assert got == want
