@@ -4493,18 +4493,18 @@ def q67_tile_pyramid(spark, sf_dir) -> DataFrame:
     return tile_pyramid(wc, "cell", 18, sum_cols=("way_id",))
 
 
-def _pyramid_oracle_blocks(src: str) -> str:
-    """The 19 per-level rollup blocks over a (way_id, cell) CTE named
-    `src` — one shared recipe for q67/q69/q71.  `cell >= 0` mirrors
-    tile_pyramid's no-cell-sentinel exclusion (today's gated inputs never
-    emit -1, but the oracle must carry the operator's contract so a
-    reuse over relation cells — which DO use -1 — stays correct)."""
+def _pyramid_oracle_blocks(src: str, key: str = "way_id") -> str:
+    """The 19 per-level rollup blocks over a (key, cell) CTE named
+    `src` — one shared recipe for q67/q69/q71/q72.  `cell >= 0` mirrors
+    tile_pyramid's no-cell-sentinel exclusion — load-bearing in q72,
+    whose relation cells DO carry the -1 sentinel (and -1 would pass the
+    depth clamp at EVERY level: (-1 & 31) = 31)."""
     blocks = []
     for lvl in range(19):
         pc = sqlgen.cell_round_sql(DUCK, "cell", lvl)
         blocks.append(
             f"select {lvl} as level, {pc} as pcell, count(*) as n,\n"
-            f"       cast(sum(way_id) as bigint) as sum_way_id\n"
+            f"       cast(sum({key}) as bigint) as sum_{key}\n"
             f"from {src} where cell >= 0 and (cell & 31) >= {lvl} "
             f"group by 1, 2"
         )
@@ -4669,6 +4669,46 @@ select qid as query_id, rank, neighbor_id from (
 ) where rank <= {ANN_K}"""
 
 
+# q72: the pyramid over RELATION cells — the input whose cells really
+# carry the -1 "no cell" sentinel (unresolved/self-circular relations,
+# resortwaynodes.go:767-824), so tile_pyramid's sentinel exclusion is
+# load-bearing: -1 would pass the depth clamp at every level
+# ((-1 & 31) = 31) and poison all 19 rollups if kept.
+
+# the sf fixtures' relations all resolve, so frozen sentinel rows are
+# UNIONED onto both sides — keeping any of them poisons all 19 levels
+_Q72_SENTINELS = [(900001, -1), (900002, -1)]
+
+
+def q72_rel_pyramid(spark, sf_dir) -> DataFrame:
+    """19-level pyramid over q05 relation cells plus injected -1
+    sentinel rows the operator must exclude."""
+    _prep(spark, sf_dir)
+    from .operators.tile_groups import tile_pyramid
+
+    wcells = way_cells(_way_bbox_df(spark), 0.05, 18)
+    members = spark.table("rels").select(
+        "rel_id", F.lit("w").alias("mtype"), F.col("member_way").alias("ref")
+    )
+    empty_nodes = spark.createDataFrame([], "node_id long, cell long")
+    rc = relation_cells(members, wcells, empty_nodes, rounds=5)
+    sent = spark.createDataFrame(_Q72_SENTINELS, "rel_id long, cell long")
+    return tile_pyramid(rc.unionByName(sent), "cell", 18,
+                        sum_cols=("rel_id",))
+
+
+def q72_oracle() -> str:
+    sent = " union all ".join(
+        f"select cast({r} as bigint) as rel_id, cast({c} as bigint) as cell"
+        for r, c in _Q72_SENTINELS
+    )
+    return (
+        "with relcells as materialized (select * from (\n"
+        + q05_oracle() + f"\n) _rc union all {sent})\n"
+        + _pyramid_oracle_blocks("relcells", key="rel_id")
+    )
+
+
 # --------------------------------------------------------------- registry
 
 GATE_QUERIES = {
@@ -4743,6 +4783,7 @@ GATE_QUERIES = {
     "q69_pyramid_update": q69_pyramid_update,
     "q70_ann_lsh_partitioned": q70_ann_lsh_partitioned,
     "q71_streaming_pyramid": q71_streaming_pyramid,
+    "q72_rel_pyramid": q72_rel_pyramid,
 }
 
 class _LazyOracles(dict):
@@ -4853,6 +4894,7 @@ GATE_ORACLES = _LazyOracles({
     "q69_pyramid_update": q69_oracle(),
     "q70_ann_lsh_partitioned": q70_oracle(),
     "q71_streaming_pyramid": q71_oracle(),
+    "q72_rel_pyramid": q72_oracle(),
 })
 
 
