@@ -249,14 +249,15 @@ def pack_point_rows(refs, lons, lats, ots):
     return [buf[out_starts[i]:ends[i]].tobytes() for i in range(n)]
 
 
-def _expand_spans(sizes: np.ndarray, phase: int) -> np.ndarray:
+def _expand_spans(sizes: np.ndarray, phase: int,
+                  stride: int = 3) -> np.ndarray:
     """Indices selecting, from a flat varint buffer packed from an
-    interleaved triple array, the bytes of every 3rd value starting at
-    `phase` — preserving order."""
+    interleaved `stride`-tuple array, the bytes of every stride-th value
+    starting at `phase` — preserving order."""
     starts = np.zeros(len(sizes), dtype=np.int64)
     starts[1:] = np.cumsum(sizes)[:-1]
-    sel_starts = starts[phase::3]
-    sel_sizes = sizes[phase::3]
+    sel_starts = starts[phase::stride]
+    sel_sizes = sizes[phase::stride]
     return np.repeat(sel_starts, sel_sizes) + _intra(sel_sizes)
 
 
@@ -278,25 +279,132 @@ def _ragged_copy(dst: np.ndarray, dst_starts: np.ndarray,
     dst[np.repeat(dst_starts, lens) + _intra(lens)] = src
 
 
+def _flat_concat(seq, lens):
+    """Flatten a sequence of per-row int lists/arrays (None rows = length
+    0 in `lens`) into one int64 array."""
+    parts = [np.asarray(x, dtype=np.int64) for x in seq
+             if x is not None and len(x)]
+    return (np.concatenate(parts) if parts
+            else np.array([], dtype=np.int64))
+
+
+def _seg_starts(lens: np.ndarray) -> np.ndarray:
+    starts = np.zeros(len(lens), dtype=np.int64)
+    if len(lens):
+        starts[1:] = np.cumsum(lens)[:-1]
+    return starts
+
+
 def pack_linestring_rows(refs_seq, lons_seq, lats_seq, zorders, ots,
                          with_bbox: bool = True):
     """packLinestringData (pbf.go:248-258):
-    {10:2}{11:zz(zo)}{14:ring}[{16:bbox}]{17:ot}."""
-    rings = _ring_bytes_rows(refs_seq, lons_seq, lats_seq)
-    out = []
-    for i, ring in enumerate(rings):
-        if ring is None:
+    {10:2}{11:zz(zo)}{14:ring}[{16:bbox}]{17:ot}.
+
+    Fully vectorized (r06): every varint group — the three delta-packed
+    ring payloads, their length varints, the ring/bbox length varints,
+    zigzag(z_order), element type, and the four bbox values — packs as
+    flat numpy passes over the whole batch; the framing bytes scatter by
+    per-row offsets (same _ragged_copy machinery as pack_point_rows).
+    The only per-row Python is the final memory slice.  Byte-identical
+    to the scalar reference packer (golden + hypothesis-pinned in
+    tests/test_geomblob.py)."""
+    n = len(lons_seq)
+    if n == 0:
+        return []
+    none_mask = np.fromiter((x is None for x in lons_seq), dtype=bool,
+                            count=n)
+    valid = ~none_mask
+    nv = int(valid.sum())
+    if nv == 0:
+        return [None] * n
+    vseq = {
+        "refs": [x for x, m in zip(refs_seq, valid) if m],
+        "lons": [x for x, m in zip(lons_seq, valid) if m],
+        "lats": [x for x, m in zip(lats_seq, valid) if m],
+    }
+    lens = np.fromiter((len(x) for x in vseq["lons"]), dtype=np.int64,
+                       count=nv)
+    if with_bbox and (lens == 0).any():
+        # parity with the scalar path: _bbox_bytes reduces over an empty
+        # coordinate list and raises
+        raise ValueError("empty coordinate list with with_bbox=True")
+
+    # three delta-packed ring payloads + their length varints
+    segs = []
+    ring_len = np.full(nv, 3, dtype=np.int64)  # three 1-byte ring keys
+    for name in ("refs", "lons", "lats"):
+        flat = _flat_concat(vseq[name], lens)
+        pbytes, blens = _delta_pack_rows(flat, lens)
+        lb, lsz = _pack_uvarints(blens.astype(np.uint64))
+        segs.append((pbytes, blens, _seg_starts(blens), lb, lsz,
+                     _seg_starts(lsz)))
+        ring_len += lsz + blens
+
+    zorders = np.asarray(zorders, dtype=np.int64)[valid]
+    ots = np.asarray(ots, dtype=np.int64)[valid]
+    zo_b, zo_sz = _pack_uvarints(_zigzag(zorders))
+    ot_b, ot_sz = _pack_uvarints(ots.astype(np.uint64))
+    rl_b, rl_sz = _pack_uvarints(ring_len.astype(np.uint64))
+
+    if with_bbox:
+        flat_lons = _flat_concat(vseq["lons"], lens)
+        flat_lats = _flat_concat(vseq["lats"], lens)
+        starts = _seg_starts(lens)
+        minx = np.minimum.reduceat(flat_lons, starts)
+        maxx = np.maximum.reduceat(flat_lons, starts)
+        miny = np.minimum.reduceat(flat_lats, starts)
+        maxy = np.maximum.reduceat(flat_lats, starts)
+        quad = np.empty(4 * nv, dtype=np.int64)
+        quad[0::4], quad[1::4] = minx, miny
+        quad[2::4], quad[3::4] = maxx - minx, maxy - miny
+        bb_b, bb_sz = _pack_uvarints(_zigzag(quad))
+        bb_len = 4 + bb_sz[0::4] + bb_sz[1::4] + bb_sz[2::4] + bb_sz[3::4]
+        bbl_b, bbl_sz = _pack_uvarints(bb_len.astype(np.uint64))
+        bbox_total = 2 + bbl_sz + bb_len  # key(16,2) is 2 bytes
+    else:
+        bbox_total = np.zeros(nv, dtype=np.int64)
+
+    # {10:gt}=2B {11:zo}=1B+zo {14:ring}=1B+rl+ring [bbox] {17:ot}=2B+ot
+    total = 2 + 1 + zo_sz + 1 + rl_sz + ring_len + bbox_total + 2 + ot_sz
+    out_starts = _seg_starts(total)
+    buf = np.zeros(int(total.sum()), dtype=np.uint8)
+    buf[out_starts] = 0x50                      # key(10, varint)
+    buf[out_starts + 1] = GEOM_LINESTRING
+    buf[out_starts + 2] = 0x58                  # key(11, varint)
+    _ragged_copy(buf, out_starts + 3, zo_b, zo_sz)
+    p = out_starts + 3 + zo_sz
+    buf[p] = 0x72                               # key(14, msg)
+    _ragged_copy(buf, p + 1, rl_b, rl_sz)
+    p = p + 1 + rl_sz
+    for tag_key, (pbytes, blens, _bst, lb, lsz, _lst) in zip(
+            (0x0A, 0x12, 0x1A), segs):
+        buf[p] = tag_key
+        _ragged_copy(buf, p + 1, lb, lsz)
+        p = p + 1 + lsz
+        _ragged_copy(buf, p, pbytes, blens)
+        p = p + blens
+    if with_bbox:
+        buf[p] = 0x82                           # key(16, msg) = 0x82 0x01
+        buf[p + 1] = 0x01
+        _ragged_copy(buf, p + 2, bbl_b, bbl_sz)
+        p = p + 2 + bbl_sz
+        for i, bkey in enumerate((0x08, 0x10, 0x28, 0x30)):
+            buf[p] = bkey
+            _ragged_copy(buf, p + 1, bb_b[_expand_spans(bb_sz, i, 4)],
+                         bb_sz[i::4])
+            p = p + 1 + bb_sz[i::4]
+    buf[p] = 0x88                               # key(17, varint) = 0x88 0x01
+    buf[p + 1] = 0x01
+    _ragged_copy(buf, p + 2, ot_b, ot_sz)
+
+    ends = out_starts + total
+    out, vi = [], 0
+    for i in range(n):
+        if none_mask[i]:
             out.append(None)
-            continue
-        b = (
-            _key(10, 0) + _uvarint1(GEOM_LINESTRING)
-            + _key(11, 0) + _uvarint1(_zz1(int(zorders[i])))
-            + _key(14, 2) + _uvarint1(len(ring)) + ring
-        )
-        if with_bbox:
-            bb = _bbox_bytes(lons_seq[i], lats_seq[i])
-            b += _key(16, 2) + _uvarint1(len(bb)) + bb
-        out.append(b + _key(17, 0) + _uvarint1(int(ots[i])))
+        else:
+            out.append(buf[out_starts[vi]:ends[vi]].tobytes())
+            vi += 1
     return out
 
 
@@ -440,6 +548,242 @@ def unpack_blob(b: bytes):
             "polys": polys}
 
 
+# ----------------------------------------- vectorized summary decode
+
+def _gather_uvarints(buf: np.ndarray, pos: np.ndarray, active: np.ndarray):
+    """Vectorized varint read at per-row cursor positions.  Returns
+    (values uint64, new positions); rows with ``~active`` are untouched
+    (value 0, cursor unchanged).  One masked pass per varint byte — the
+    cursor-parallel analogue of _unpack_uvarints for when positions are
+    scattered rather than contiguous."""
+    n = len(pos)
+    val = np.zeros(n, dtype=np.uint64)
+    cur = pos.copy()
+    reading = active.copy()
+    for j in range(10):
+        idx = np.flatnonzero(reading)
+        if idx.size == 0:
+            break
+        b = buf[cur[idx]]
+        val[idx] |= (b.astype(np.uint64) & _MASK7) << np.uint64(7 * j)
+        cur[idx] += 1
+        reading[idx[b < 0x80]] = False
+    return val, cur
+
+
+def _segmented_delta_stats(buf: np.ndarray, lo: np.ndarray,
+                           hi: np.ndarray):
+    """Decode per-row spans of packed zigzag-varint DELTAS (restarting at
+    each span) and return per-row (count, sum, first, last) of the
+    prefix-summed absolute values — everything the summary decoder needs,
+    without materializing per-row arrays.
+
+    lo/hi are span bounds into `buf`; rows with lo < 0 yield zeros."""
+    nv = len(lo)
+    counts = np.zeros(nv, dtype=np.int64)
+    sums = np.zeros(nv, dtype=np.int64)
+    firsts = np.zeros(nv, dtype=np.int64)
+    lasts = np.zeros(nv, dtype=np.int64)
+    have = lo >= 0
+    span_len = np.where(have, hi - lo, 0)
+    total = int(span_len.sum())
+    if total == 0:
+        return counts, sums, firsts, lasts
+    # gather all spans into one flat buffer (row order preserved)
+    idx = np.repeat(lo.clip(min=0), span_len) + _intra(span_len)
+    flat = buf[idx]
+    # values per row = terminator bytes per span
+    term = (flat < 0x80).astype(np.int64)
+    tcum = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(term, out=tcum[1:])
+    bstarts = _seg_starts(span_len)
+    bends = bstarts + span_len
+    counts = tcum[bends] - tcum[bstarts]
+    deltas = _unzigzag(_unpack_uvarints(flat))
+    # segmented prefix sum: absolute value v[k] = cumsum(deltas) - base
+    vstarts = _seg_starts(counts)
+    acc = np.cumsum(deltas)
+    nz = counts > 0
+    base = np.zeros(nv, dtype=np.int64)
+    base[nz] = acc[vstarts[nz]] - deltas[vstarts[nz]]
+    # sum over a span of (acc[k] - base) for k in [s, e)
+    acc2 = np.zeros(len(deltas) + 1, dtype=np.int64)
+    np.cumsum(acc, out=acc2[1:])
+    vends = vstarts + counts
+    sums = acc2[vends] - acc2[vstarts] - counts * base
+    firsts[nz] = deltas[vstarts[nz]]
+    lasts[nz] = acc[vends[nz] - 1] - base[nz]
+    return counts, sums, firsts, lasts
+
+
+_SUMMARY_KEYS = ("gt", "ot", "zo", "ar", "n_rings", "np", "sum_ref",
+                 "sum_lon", "sum_lat", "first_lon", "last_lat")
+
+
+def _summarize_blobs(blobs):
+    """Vectorized bulk decode of the summary struct over a sequence of
+    blobs (None-safe).  The mass shapes — Point (one tag-13 coord
+    message) and single-ring Linestring (one tag-14 ring message) —
+    decode in flat numpy passes; anything else (polygons/multis,
+    repeated rings) falls back to the exact per-row unpack_blob.
+    Returns a dict of numpy/object arrays keyed by _SUMMARY_KEYS plus a
+    'null' bool mask."""
+    n = len(blobs)
+    null = np.fromiter((b is None for b in blobs), dtype=bool, count=n)
+    joined = b"".join(b for b in blobs if b is not None)
+    buf = np.frombuffer(joined, dtype=np.uint8)
+    lens = np.fromiter((len(b) for b in blobs if b is not None),
+                       dtype=np.int64, count=int((~null).sum()))
+    nv = len(lens)
+    starts = _seg_starts(lens)
+    ends = starts + lens
+
+    gt = np.zeros(nv, np.int64)
+    ot = np.zeros(nv, np.int64)
+    zo = np.zeros(nv, np.int64)
+    ar_bits = np.zeros(nv, np.uint64)
+    c_lo = np.full(nv, -1, np.int64)
+    c_hi = np.full(nv, -1, np.int64)
+    r_lo = np.full(nv, -1, np.int64)
+    r_hi = np.full(nv, -1, np.int64)
+    fallback = np.zeros(nv, bool)
+
+    pos = starts.copy()
+    active = pos < ends
+    while active.any():
+        key, pos = _gather_uvarints(buf, pos, active)
+        tag = (key >> np.uint64(3)).astype(np.int64)
+        wt = (key & np.uint64(7)).astype(np.int64)
+        bad = active & (wt != 0) & (wt != 2)
+        if bad.any():
+            raise ValueError(
+                f"unsupported wiretype {int(wt[bad][0])}"
+            )
+        m0 = active & (wt == 0)
+        val, pos = _gather_uvarints(buf, pos, m0)
+        m = m0 & (tag == 10)
+        gt[m] = val[m].astype(np.int64)
+        m = m0 & (tag == 11)
+        zo[m] = _unzigzag(val[m])
+        m = m0 & (tag == 12)
+        ar_bits[m] = val[m]
+        m = m0 & (tag == 17)
+        ot[m] = val[m].astype(np.int64)
+        m2 = active & (wt == 2)
+        ln, pos = _gather_uvarints(buf, pos, m2)
+        ln = ln.astype(np.int64)
+        m = m2 & (tag == 13)
+        fallback |= m & (c_lo >= 0)        # repeated coord message
+        c_lo[m], c_hi[m] = pos[m], pos[m] + ln[m]
+        m = m2 & (tag == 14)
+        fallback |= m & (r_lo >= 0)        # repeated ring
+        r_lo[m], r_hi[m] = pos[m], pos[m] + ln[m]
+        fallback |= m2 & (tag == 15)       # polygon/multi: exact per-row
+        pos[m2] += ln[m2]
+        active = active & (pos < ends)
+
+    fallback |= (c_lo >= 0) & (r_lo >= 0)  # mixed shapes: per-row
+
+    # ---- point coord messages: 3 varint fields {1:ref, 2:lon, 3:lat}
+    pref = np.zeros(nv, np.int64)
+    plon = np.zeros(nv, np.int64)
+    plat = np.zeros(nv, np.int64)
+    pm = (c_lo >= 0) & ~fallback
+    if pm.any():
+        cpos = np.where(pm, c_lo, 0)
+        cact = pm.copy()
+        while cact.any():
+            ckey, cpos = _gather_uvarints(buf, cpos, cact)
+            ctag = (ckey >> np.uint64(3)).astype(np.int64)
+            cwt = (ckey & np.uint64(7)).astype(np.int64)
+            if (cact & (cwt != 0)).any():
+                fallback |= cact & (cwt != 0)
+                cact &= cwt == 0
+            cval, cpos = _gather_uvarints(buf, cpos, cact)
+            dec = _unzigzag(cval)
+            for t, arr in ((1, pref), (2, plon), (3, plat)):
+                m = cact & (ctag == t)
+                arr[m] = dec[m]
+            cact = cact & (cpos < np.where(pm, c_hi, 0))
+
+    # ---- ring messages: 3 length-delimited delta lists {1,2,3}
+    f_lo = {1: np.full(nv, -1, np.int64), 2: np.full(nv, -1, np.int64),
+            3: np.full(nv, -1, np.int64)}
+    f_hi = {1: np.full(nv, -1, np.int64), 2: np.full(nv, -1, np.int64),
+            3: np.full(nv, -1, np.int64)}
+    rm = (r_lo >= 0) & ~fallback
+    if rm.any():
+        rpos = np.where(rm, r_lo, 0)
+        ract = rm.copy()
+        while ract.any():
+            rkey, rpos = _gather_uvarints(buf, rpos, ract)
+            rtag = (rkey >> np.uint64(3)).astype(np.int64)
+            rwt = (rkey & np.uint64(7)).astype(np.int64)
+            if (ract & (rwt != 2)).any():
+                fallback |= ract & (rwt != 2)
+                ract &= rwt == 2
+            rln, rpos = _gather_uvarints(buf, rpos, ract)
+            rln = rln.astype(np.int64)
+            for t in (1, 2, 3):
+                m = ract & (rtag == t)
+                f_lo[t][m], f_hi[t][m] = rpos[m], rpos[m] + rln[m]
+            rpos[ract] += rln[ract]
+            ract = ract & (rpos < np.where(rm, r_hi, 0))
+        rm = rm & ~fallback
+
+    mask_span = lambda a, m: np.where(m, a, -1)
+    rcnt, rsum, _rf, _rl = _segmented_delta_stats(
+        buf, mask_span(f_lo[1], rm), mask_span(f_hi[1], rm))
+    xcnt, xsum, xfirst, _xl = _segmented_delta_stats(
+        buf, mask_span(f_lo[2], rm), mask_span(f_hi[2], rm))
+    ycnt, ysum, _yf, ylast = _segmented_delta_stats(
+        buf, mask_span(f_lo[3], rm), mask_span(f_hi[3], rm))
+
+    pm = (c_lo >= 0) & ~fallback
+    n_rings = (pm | rm).astype(np.int64)
+    npts = np.where(pm, 1, xcnt)
+    sum_ref = np.where(pm, pref, rsum)
+    sum_lon = np.where(pm, plon, xsum)
+    sum_lat = np.where(pm, plat, ysum)
+    has_pts = npts > 0
+    first_lon = np.where(pm, plon, xfirst)
+    last_lat = np.where(pm, plat, ylast)
+
+    out = {
+        "gt": gt, "ot": ot, "zo": zo,
+        "ar": np.asarray(ar_bits).view(np.float64).copy(),
+        "n_rings": n_rings, "np": npts, "sum_ref": sum_ref,
+        "sum_lon": sum_lon, "sum_lat": sum_lat,
+        "first_lon": first_lon, "last_lat": last_lat,
+        "has_pts": has_pts, "null": null,
+    }
+
+    # exact per-row fallback for non-mass shapes (polygons, repeats)
+    if fallback.any():
+        vidx = np.flatnonzero(~null)
+        for vi in np.flatnonzero(fallback):
+            d = unpack_blob(bytes(buf[starts[vi]:ends[vi]]))
+            refs = (np.concatenate([r[0] for r in d["rings"]])
+                    if d["rings"] else np.array([], dtype=np.int64))
+            lons = (np.concatenate([r[1] for r in d["rings"]])
+                    if d["rings"] else np.array([], dtype=np.int64))
+            lats = (np.concatenate([r[2] for r in d["rings"]])
+                    if d["rings"] else np.array([], dtype=np.int64))
+            out["gt"][vi] = d["gt"]
+            out["ot"][vi] = d["ot"]
+            out["zo"][vi] = d["zo"]
+            out["ar"][vi] = d["ar"]
+            out["n_rings"][vi] = len(d["rings"])
+            out["np"][vi] = len(lons)
+            out["sum_ref"][vi] = int(refs.sum()) if len(refs) else 0
+            out["sum_lon"][vi] = int(lons.sum()) if len(lons) else 0
+            out["sum_lat"][vi] = int(lats.sum()) if len(lats) else 0
+            out["has_pts"][vi] = len(lons) > 0
+            out["first_lon"][vi] = int(lons[0]) if len(lons) else 0
+            out["last_lat"][vi] = int(lats[-1]) if len(lats) else 0
+    return out
+
+
 # ----------------------------------------------------- udf surface
 
 def pack_linestring_udf(with_bbox: bool = True):
@@ -483,34 +827,38 @@ _DECODE_SCHEMA = (
 
 def parse_geomblob_udf():
     """pandas UDF blob -> decoded summary struct (round-trip checks).
-    Full ring recovery stays available via unpack_blob for tests."""
+    Bulk path is the vectorized _summarize_blobs (flat numpy passes over
+    the whole batch — r06; the old per-row tag walk was the geomblob
+    stage's dominant cost); full ring recovery stays available via
+    unpack_blob for tests."""
 
     @F.pandas_udf(_DECODE_SCHEMA)
     def _parse(blob: pd.Series) -> pd.DataFrame:
-        rows = []
-        for b in blob:
-            if b is None:
-                rows.append({k: None for k in (
-                    "gt", "ot", "zo", "ar", "n_rings", "np", "sum_ref",
-                    "sum_lon", "sum_lat", "first_lon", "last_lat")})
-                continue
-            d = unpack_blob(b)
-            refs = (np.concatenate([r[0] for r in d["rings"]])
-                    if d["rings"] else np.array([], dtype=np.int64))
-            lons = (np.concatenate([r[1] for r in d["rings"]])
-                    if d["rings"] else np.array([], dtype=np.int64))
-            lats = (np.concatenate([r[2] for r in d["rings"]])
-                    if d["rings"] else np.array([], dtype=np.int64))
-            rows.append({
-                "gt": d["gt"], "ot": d["ot"], "zo": d["zo"],
-                "ar": d["ar"], "n_rings": len(d["rings"]),
-                "np": int(len(lons)),
-                "sum_ref": int(refs.sum()) if len(refs) else 0,
-                "sum_lon": int(lons.sum()) if len(lons) else 0,
-                "sum_lat": int(lats.sum()) if len(lats) else 0,
-                "first_lon": int(lons[0]) if len(lons) else None,
-                "last_lat": int(lats[-1]) if len(lats) else None,
-            })
-        return pd.DataFrame(rows)
+        s = _summarize_blobs(list(blob))
+        null, has_pts = s["null"], s["has_pts"]
+
+        def _scatter(vals, extra_null=None):
+            """Int64 (nullable) column from per-valid-row values, nulls
+            at null-blob rows (+ optional extra per-valid null mask)."""
+            data = np.zeros(len(null), dtype=np.int64)
+            data[~null] = vals
+            mask = null.copy()
+            if extra_null is not None:
+                mask[~null] |= extra_null
+            return pd.arrays.IntegerArray(data, mask)
+
+        ar = np.full(len(null), np.nan)
+        ar[~null] = s["ar"]
+        return pd.DataFrame({
+            "gt": _scatter(s["gt"]), "ot": _scatter(s["ot"]),
+            "zo": _scatter(s["zo"]),
+            "ar": pd.arrays.FloatingArray(ar, null.copy()),
+            "n_rings": _scatter(s["n_rings"]), "np": _scatter(s["np"]),
+            "sum_ref": _scatter(s["sum_ref"]),
+            "sum_lon": _scatter(s["sum_lon"]),
+            "sum_lat": _scatter(s["sum_lat"]),
+            "first_lon": _scatter(s["first_lon"], ~has_pts),
+            "last_lat": _scatter(s["last_lat"], ~has_pts),
+        })
 
     return _parse

@@ -78,6 +78,32 @@ def read_cell_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# (appId, path, dir mtime) -> parquet schema.  Serving runs issue many
+# pruned scans against the same written table; without this each
+# spark.read.parquet pays a full driver-side schema inference
+# (footer read + partition discovery merge) per QUERY — measured ~0.25s
+# per scan at sf0.1, ~3x the whole pruned read.  Keying on the directory
+# mtime keeps overwrites (which replace the dir entries) safe: a rewrite
+# re-infers.  This caches table METADATA for the life of one written layout,
+# never row data — every scan still reads the parquet files.
+# 100-TB note: the production analogue is the table-format catalog schema
+# (Iceberg manifests), which serves exactly this metadata without listing.
+_SCHEMA_CACHE: dict = {}
+
+
+def _table_schema(spark: SparkSession, path: str):
+    import os
+
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None
+    key = (spark.sparkContext.applicationId, path, mtime)
+    if key not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
+    return _SCHEMA_CACHE[key]
+
+
 def pruned_tile_scan(spark: SparkSession, path: str, qminx: int, qminy: int,
                      qmaxx: int, qmaxy: int, level: int,
                      cell_buffer: float = 0.05) -> DataFrame:
@@ -89,7 +115,9 @@ def pruned_tile_scan(spark: SparkSession, path: str, qminx: int, qminy: int,
     partition count."""
     cover = [int(c) for c in
              cover_cells(qminx, qminy, qmaxx, qmaxy, level, cell_buffer)]
-    df = spark.read.parquet(path).filter(F.col(PART_COL).isin(cover))
+    schema = _table_schema(spark, path)
+    df = (spark.read.schema(schema).parquet(path)
+          .filter(F.col(PART_COL).isin(cover)))
     return df.filter(
         (F.col("minx") <= F.lit(qmaxx)) & (F.col("miny") <= F.lit(qmaxy))
         & (F.col("maxx") >= F.lit(qminx)) & (F.col("maxy") >= F.lit(qminy))
