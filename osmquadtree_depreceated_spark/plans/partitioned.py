@@ -78,20 +78,24 @@ def read_cell_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-# (appId, path, dir mtime) -> parquet schema.  Serving runs issue many
-# pruned scans against the same written table; without this each
-# spark.read.parquet pays a full driver-side schema inference
-# (footer read + partition discovery merge) per QUERY — measured ~0.25s
-# per scan at sf0.1, ~3x the whole pruned read.  Keying on the directory
-# mtime keeps overwrites (which replace the dir entries) safe: a rewrite
-# re-infers.  This caches table METADATA for the life of one written layout,
-# never row data — every scan still reads the parquet files.
-# 100-TB note: the production analogue is the table-format catalog schema
-# (Iceberg manifests), which serves exactly this metadata without listing.
-_SCHEMA_CACHE: dict = {}
+# (appId, path, dir mtime) -> base DataFrame over the written layout.
+# Serving runs issue many pruned scans against the same table; a fresh
+# spark.read.parquet per QUERY pays a full driver-side schema inference
+# (footer read + partition discovery merge, ~0.25s at sf0.1 — ~3x the
+# whole pruned read) plus a fresh file listing (~0.09s).  Reusing one
+# base DataFrame per written layout does both once; every per-query
+# filter still reaches the shared scan as its own PartitionFilters.
+# Keying on the directory mtime keeps overwrites safe: every write path
+# (write_cell_partitioned, mode=overwrite at `path`) replaces the
+# directory entries, so a rewrite changes the mtime and re-lists.  This
+# caches table METADATA for the life of one written layout, never row
+# data — every query still reads the parquet files.  100-TB note: the
+# production analogue is the table-format catalog (Iceberg manifests),
+# which serves exactly this metadata without listing.
+_BASE_DF_CACHE: dict = {}
 
 
-def _table_schema(spark: SparkSession, path: str):
+def _table_base_df(spark: SparkSession, path: str) -> DataFrame:
     import os
 
     try:
@@ -99,9 +103,9 @@ def _table_schema(spark: SparkSession, path: str):
     except OSError:
         mtime = None
     key = (spark.sparkContext.applicationId, path, mtime)
-    if key not in _SCHEMA_CACHE:
-        _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
-    return _SCHEMA_CACHE[key]
+    if key not in _BASE_DF_CACHE:
+        _BASE_DF_CACHE[key] = spark.read.parquet(path)
+    return _BASE_DF_CACHE[key]
 
 
 def pruned_tile_scan(spark: SparkSession, path: str, qminx: int, qminy: int,
@@ -115,9 +119,7 @@ def pruned_tile_scan(spark: SparkSession, path: str, qminx: int, qminy: int,
     partition count."""
     cover = [int(c) for c in
              cover_cells(qminx, qminy, qmaxx, qmaxy, level, cell_buffer)]
-    schema = _table_schema(spark, path)
-    df = (spark.read.schema(schema).parquet(path)
-          .filter(F.col(PART_COL).isin(cover)))
+    df = _table_base_df(spark, path).filter(F.col(PART_COL).isin(cover))
     return df.filter(
         (F.col("minx") <= F.lit(qmaxx)) & (F.col("miny") <= F.lit(qmaxy))
         & (F.col("maxx") >= F.lit(qminx)) & (F.col("maxy") >= F.lit(qminy))
