@@ -193,3 +193,86 @@ def test_linestring_blob_property(way, zo, ot):
     assert d["gt"] == 2 and d["ot"] == ot and d["zo"] == zo
     r, x, y = d["rings"][0]
     assert list(r) == refs and list(x) == lons and list(y) == lats
+
+
+def test_summarize_blobs_mixed_shapes_match_perrow():
+    """The r06 vectorized summary decoder (_summarize_blobs) must agree
+    with the exact per-row unpack_blob on every shape it can meet in one
+    batch: None, Point, Linestring (with/without bbox), Polygon and Multi
+    (which take the per-row fallback inside the vectorized path)."""
+    from osmquadtree_depreceated_spark.functions.geomblob import (
+        _summarize_blobs,
+    )
+
+    [pt] = pack_point_rows([42], [-1234567], [7654321], [0])
+    [ls] = pack_linestring_rows([[10, 11, 12]], [[-500000, -499900, -499800]],
+                                [[100, 200, 150]], [-37], [1])
+    [ls_nb] = pack_linestring_rows([[7]], [[100]], [[200]], [5], [1],
+                                   with_bbox=False)
+    rr = [[1, 2, 3, 1], [9, 8, 7, 9]]
+    rl = [[0, 100, 100, 0], [10, 20, 20, 10]]
+    rt = [[0, 0, 100, 0], [10, 10, 20, 10]]
+    [pg] = pack_polygon_rows([rr], [rl], [rt], [5], [123.456], [2])
+    [mu] = pack_polygon_rows([[rr, [rr[0]]]], [[rl, [rl[0]]]],
+                             [[rt, [rt[0]]]], [0], [1.5], [2], multi=True)
+    blobs = [pt, None, ls, pg, ls_nb, mu]
+    s = _summarize_blobs(blobs)
+    assert list(s["null"]) == [False, True, False, False, False, False]
+    vi = 0
+    for b in blobs:
+        if b is None:
+            continue
+        d = unpack_blob(b)
+        lons = (np.concatenate([r[1] for r in d["rings"]])
+                if d["rings"] else np.array([], dtype=np.int64))
+        refs = (np.concatenate([r[0] for r in d["rings"]])
+                if d["rings"] else np.array([], dtype=np.int64))
+        lats = (np.concatenate([r[2] for r in d["rings"]])
+                if d["rings"] else np.array([], dtype=np.int64))
+        assert s["gt"][vi] == d["gt"] and s["ot"][vi] == d["ot"]
+        assert s["zo"][vi] == d["zo"] and s["ar"][vi] == d["ar"]
+        assert s["n_rings"][vi] == len(d["rings"])
+        assert s["np"][vi] == len(lons)
+        assert s["sum_ref"][vi] == refs.sum() if len(refs) else True
+        assert s["sum_lon"][vi] == lons.sum() if len(lons) else True
+        assert s["sum_lat"][vi] == lats.sum() if len(lats) else True
+        assert bool(s["has_pts"][vi]) == (len(lons) > 0)
+        if len(lons):
+            assert s["first_lon"][vi] == lons[0]
+            assert s["last_lat"][vi] == lats[-1]
+        vi += 1
+
+
+@settings(max_examples=100, deadline=None)
+@given(ways=st.lists(st.one_of(st.none(), _WAY), min_size=1, max_size=8),
+       zo=st.integers(-2**31, 2**31))
+def test_vectorized_batch_pack_decode_property(ways, zo):
+    """Whole-batch property: the vectorized packer over a mixed batch
+    (including None rows) emits per-row bytes identical to packing each
+    row alone, and the vectorized summary decoder recovers the per-row
+    stats of the exact decoder."""
+    from osmquadtree_depreceated_spark.functions.geomblob import (
+        _summarize_blobs,
+    )
+
+    refs = [None if w is None else [t[0] for t in w] for w in ways]
+    lons = [None if w is None else [t[1] for t in w] for w in ways]
+    lats = [None if w is None else [t[2] for t in w] for w in ways]
+    zos = [zo + i for i in range(len(ways))]
+    ots = [i % 3 for i in range(len(ways))]
+    batch = pack_linestring_rows(refs, lons, lats, zos, ots)
+    for i, w in enumerate(ways):
+        [single] = pack_linestring_rows([refs[i]], [lons[i]], [lats[i]],
+                                        [zos[i]], [ots[i]])
+        assert batch[i] == single
+    s = _summarize_blobs(batch)
+    vi = 0
+    for i, w in enumerate(ways):
+        if w is None:
+            continue
+        assert s["zo"][vi] == zos[i] and s["ot"][vi] == ots[i]
+        assert s["np"][vi] == len(w)
+        assert s["sum_lon"][vi] == sum(t[1] for t in w)
+        assert s["first_lon"][vi] == w[0][1]
+        assert s["last_lat"][vi] == w[-1][2]
+        vi += 1
