@@ -279,9 +279,9 @@ def _ragged_copy(dst: np.ndarray, dst_starts: np.ndarray,
     dst[np.repeat(dst_starts, lens) + _intra(lens)] = src
 
 
-def _flat_concat(seq, lens):
-    """Flatten a sequence of per-row int lists/arrays (None rows = length
-    0 in `lens`) into one int64 array."""
+def _flat_concat(seq):
+    """Flatten a sequence of per-row int lists/arrays (skipping None and
+    empty rows) into one int64 array."""
     parts = [np.asarray(x, dtype=np.int64) for x in seq
              if x is not None and len(x)]
     return (np.concatenate(parts) if parts
@@ -333,7 +333,7 @@ def pack_linestring_rows(refs_seq, lons_seq, lats_seq, zorders, ots,
     segs = []
     ring_len = np.full(nv, 3, dtype=np.int64)  # three 1-byte ring keys
     for name in ("refs", "lons", "lats"):
-        flat = _flat_concat(vseq[name], lens)
+        flat = _flat_concat(vseq[name])
         pbytes, blens = _delta_pack_rows(flat, lens)
         lb, lsz = _pack_uvarints(blens.astype(np.uint64))
         segs.append((pbytes, blens, _seg_starts(blens), lb, lsz,
@@ -347,8 +347,8 @@ def pack_linestring_rows(refs_seq, lons_seq, lats_seq, zorders, ots,
     rl_b, rl_sz = _pack_uvarints(ring_len.astype(np.uint64))
 
     if with_bbox:
-        flat_lons = _flat_concat(vseq["lons"], lens)
-        flat_lats = _flat_concat(vseq["lats"], lens)
+        flat_lons = _flat_concat(vseq["lons"])
+        flat_lats = _flat_concat(vseq["lats"])
         starts = _seg_starts(lens)
         minx = np.minimum.reduceat(flat_lons, starts)
         maxx = np.maximum.reduceat(flat_lons, starts)
