@@ -102,7 +102,13 @@ def _table_base_df(spark: SparkSession, path: str) -> DataFrame:
         mtime = os.path.getmtime(path)
     except OSError:
         mtime = None
-    key = (spark.sparkContext.applicationId, path, mtime)
+    app = spark.sparkContext.applicationId
+    # sessions are sequential in every harness (pytest runs many): drop
+    # entries pinned to stopped applications so the cache stays O(paths
+    # of the live session)
+    for k in [k for k in _BASE_DF_CACHE if k[0] != app]:
+        del _BASE_DF_CACHE[k]
+    key = (app, path, mtime)
     if key not in _BASE_DF_CACHE:
         _BASE_DF_CACHE[key] = spark.read.parquet(path)
     return _BASE_DF_CACHE[key]
