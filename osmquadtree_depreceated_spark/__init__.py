@@ -51,9 +51,19 @@ def _default_launch_env() -> None:
     """
     import os
 
-    if "PYSPARK_SUBMIT_ARGS" not in os.environ:
+    existing = os.environ.get("PYSPARK_SUBMIT_ARGS")
+    if existing is None:
         os.environ["PYSPARK_SUBMIT_ARGS"] = (
             "--conf spark.shuffle.sort.bypassMergeThreshold=7 pyspark-shell"
+        )
+    elif "spark.shuffle.sort.bypassMergeThreshold" not in existing:
+        # A harness that pre-sets PYSPARK_SUBMIT_ARGS (its own memory or
+        # packages flags) still gets the writer default: prepend our
+        # --conf, keeping the caller's args (and their trailing primary
+        # resource, e.g. "pyspark-shell") intact.  An explicit
+        # bypassMergeThreshold anywhere in the caller's args wins.
+        os.environ["PYSPARK_SUBMIT_ARGS"] = (
+            "--conf spark.shuffle.sort.bypassMergeThreshold=7 " + existing
         )
 
     want = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
