@@ -65,13 +65,13 @@ TRIGRAM_WEIGHTS = {
 LANG_MIN_SCORE = 4
 
 
-def trigram_score(cls: str, text: str = "text") -> Column:
-    """Summed trigram weights for one class, natively."""
+def _trigram_score_sql(cls: str, text: str = "text") -> str:
+    """SQL fragment: summed trigram weights for one class."""
     cases = " ".join(
         f"when t = '{g}' then {w}"
         for g, w in sorted(TRIGRAM_WEIGHTS[cls].items())
     )
-    return F.expr(
+    return (
         f"case when length({text}) < 3 then 0L else "
         f"aggregate(transform(sequence(1, length({text}) - 2), "
         f"i -> substring({text}, i, 3)), 0L, "
@@ -79,22 +79,64 @@ def trigram_score(cls: str, text: str = "text") -> Column:
     )
 
 
+def trigram_score(cls: str, text: str = "text") -> Column:
+    """Summed trigram weights for one class, natively."""
+    return F.expr(_trigram_score_sql(cls, text))
+
+
+def _scores_struct_sql(text: str = "text") -> str:
+    """SQL fragment: every class score as one struct (one O(len)
+    interpreted trigram scan per class)."""
+    fields = ", ".join(
+        f"{_trigram_score_sql(c, text)} as s{i}"
+        for i, c in enumerate(LANG_CLASSES)
+    )
+    return f"struct({fields})"
+
+
+def _label_sql(sc: str) -> str:
+    """SQL fragment: argmax label over a cheap scores-struct reference
+    `sc` (ties by LANG_CLASSES order — ordered case, same as a
+    reverse-built when-chain), 'unk' below LANG_MIN_SCORE."""
+    best = "greatest(" + ", ".join(
+        f"{sc}.s{i}" for i in range(len(LANG_CLASSES))
+    ) + ")" if len(LANG_CLASSES) > 1 else f"{sc}.s0"
+    whens = " ".join(
+        f"when {sc}.s{i} >= {LANG_MIN_SCORE} and {sc}.s{i} = {best} "
+        f"then '{c}'"
+        for i, c in enumerate(LANG_CLASSES)
+    )
+    return f"case {whens} else 'unk' end"
+
+
+def trigram_scores_struct(text: str = "text") -> Column:
+    """All class scores as ONE struct column.  Materialize this (its own
+    withColumn / projection layer), then derive the label with
+    `lang_from_scores` and the per-class columns as cheap field
+    extractions — each class's aggregate runs once per row."""
+    return F.expr(_scores_struct_sql(text))
+
+
+def lang_from_scores(scores_col: str) -> Column:
+    """Label from a materialized scores-struct column (see
+    trigram_scores_struct)."""
+    return F.expr(_label_sql(scores_col))
+
+
 def lang_trigram(text: str = "text") -> Column:
     """Multi-class trigram language guess: argmax class score (ties by
-    LANG_CLASSES order), 'unk' below LANG_MIN_SCORE."""
-    scores = {c: trigram_score(c, text) for c in LANG_CLASSES}
-    best = F.greatest(*scores.values()) if len(scores) > 1 else next(
-        iter(scores.values())
-    )
-    out = F.lit("unk")
-    # build the when-chain in REVERSE class order so earlier classes win
-    # ties (each later when() wraps the earlier result)
-    for c in reversed(LANG_CLASSES):
-        out = F.when(
-            (scores[c] >= F.lit(LANG_MIN_SCORE)) & (scores[c] == best),
-            F.lit(c),
-        ).otherwise(out)
-    return out
+    LANG_CLASSES order), 'unk' below LANG_MIN_SCORE.
+
+    Standalone form: the per-class aggregates are let-bound into one
+    struct (`_let`) so each class's O(len) interpreted trigram scan runs
+    ONCE per row — the naive greatest + when-chain composition
+    re-evaluates every score ~3x (these aggregates never codegen;
+    measured 13.3 s -> 4.8 s on the sf0.1 documents).  Queries that ALSO
+    select the individual scores should use trigram_scores_struct +
+    lang_from_scores instead, sharing one scan set across all outputs."""
+    return F.expr(_let(
+        _scores_struct_sql(text), "__sc", _label_sql("__sc")
+    ))
 
 
 def bpe_token_estimate(n_chars: str = "n_chars") -> Column:
@@ -139,17 +181,37 @@ def rolling_fingerprint_udf(window: int = 16, base: int = 1_000_003,
     return _fp
 
 
+def _let(bound_expr: str, var: str, body: str) -> str:
+    """SQL let-binding: evaluate `bound_expr` ONCE per row and reference it
+    as `var` inside `body`, via a single-element transform whose lambda
+    variable is the binding.  Higher-order functions are CodegenFallback
+    (interpreted), so a subexpression textually repeated inside a lambda
+    re-evaluates per reference — for an expression referenced once per
+    array element that turns O(n) work into O(n^2) per row (measured 30 s
+    on the sf0.1 minhash gate).  The binding restores the intended cost
+    with byte-identical results."""
+    return (
+        f"element_at(transform(array({bound_expr}), {var} -> {body}), 1)"
+    )
+
+
 def word_shingles(text: str = "text", k: int = 3) -> str:
     """SQL fragment: array of word k-gram shingles (1-based element_at so
     Spark and DuckDB index identically).  Docs with fewer than k tokens
     yield an empty array — guarded explicitly because Spark's
-    sequence(1, 0) produces a DESCENDING sequence, not an empty one."""
-    w = f"split({text}, ' ')"
-    gram = ", ".join(f"element_at({w}, i + {j})" for j in range(k))
-    return (
-        f"(case when size({w}) < {k} then cast(array() as array<string>) "
-        f"else transform(sequence(1, size({w}) - {k - 1}),"
-        f" i -> concat_ws(' ', {gram})) end)"
+    sequence(1, 0) produces a DESCENDING sequence, not an empty one.
+
+    The token array is let-bound (`_let`) so split() runs once per row —
+    inlining it textually would re-split per shingle element (O(tokens^2)
+    interpreted work; this fragment sits under transform/aggregate, which
+    never codegen)."""
+    gram = ", ".join(f"element_at(__w, i + {j})" for j in range(k))
+    return _let(
+        f"split({text}, ' ')",
+        "__w",
+        f"(case when size(__w) < {k} then cast(array() as array<string>) "
+        f"else transform(sequence(1, size(__w) - {k - 1}),"
+        f" i -> concat_ws(' ', {gram})) end)",
     )
 
 

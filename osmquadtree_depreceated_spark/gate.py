@@ -596,12 +596,18 @@ def q15_lang_id(spark, sf_dir) -> DataFrame:
     _prep(spark, sf_dir)
     from .functions import text as T
 
-    return spark.table("docs_aug").select(
+    # one materialized scores struct; label + per-class columns are cheap
+    # field reads off it, so each class's trigram scan runs once per row
+    # (the previous shape re-evaluated the aggregates inside the argmax
+    # chain — these higher-order aggregates never codegen)
+    return spark.table("docs_aug").withColumn(
+        "__sc", T.trigram_scores_struct()
+    ).select(
         "doc_id",
-        T.lang_trigram().alias("lang_guess"),
+        T.lang_from_scores("__sc").alias("lang_guess"),
         *[
-            T.trigram_score(c).alias(f"s_{c}")
-            for c in T.LANG_CLASSES
+            F.col(f"__sc.s{i}").alias(f"s_{c}")
+            for i, c in enumerate(T.LANG_CLASSES)
         ],
         F.when(
             T.stopword_count() * 5 >= T.n_tokens(), F.lit("en")

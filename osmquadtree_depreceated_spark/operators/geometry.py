@@ -53,7 +53,16 @@ def _json_fold_udf():
 
         return m.map(f)
 
-    return _jfold
+    # Value-deterministic, but FLAGGED nondeterministic on purpose: a
+    # consumer predicate over tags_out textually contains this UDF
+    # (tags_out = ... coalesce(jesc, json) ...), and Catalyst pushes
+    # deterministic predicates below the rewrite — through the input
+    # view's distinct — re-evaluating the entire inlined rewrite (plus a
+    # second ArrowEvalPython for this UDF) once per BASE row instead of
+    # once per aggregated row (measured 40x row amplification, 13 s of a
+    # 14.7k-row q31 stage at sf0.1).  The flag keeps every filter above
+    # the rewrite projection, where tags_out is a materialized column.
+    return _jfold.asNondeterministic()
 
 
 def with_tag_rewrite(df: DataFrame, which: str = "way",
@@ -98,11 +107,28 @@ def with_tag_rewrite(df: DataFrame, which: str = "way",
     t = "__tr"
     tc = tags_col
 
-    df = df.withColumn(
-        f"{t}_feat",
-        F.expr(f"{tc} is not null and "
-               f"exists(map_keys({tc}), k -> k in ({feat_l}))"),
-    )
+    # ONE pack expression holds every value derived directly from the
+    # input map, so `{tc}` appears in exactly one projection entry.  The
+    # stepped form this replaces referenced `{tc}` once per derived
+    # column, and Catalyst's pairwise CollapseProject inlined the
+    # (possibly expensive — e.g. a synthesized-map-literal) tags
+    # expression into every reference transitively: 17 copies measured
+    # in the q31 optimized plan.  Higher-order functions are
+    # CodegenFallback (interpreted), so each copy re-evaluated per row —
+    # 13 s for the 14.7k-row q31 projection at sf0.1.  Packing restores
+    # one evaluation (plan 17 -> 2 copies, stage ~1 s); downstream steps
+    # read cheap struct fields.
+    pack_fields = [
+        f"{tc} is null as isnil",
+        f"{tc} is not null and "
+        f"exists(map_keys({tc}), k -> k in ({feat_l})) as feat",
+        f"map_filter({tc}, (k, v) -> k in ({keep_l})) as kept",
+        f"map_filter({tc}, (k, v) -> not k in ({keep_l})) as fold",
+        f"{str(fold_enabled).lower()} and {tc} is not null and ("
+        f"exists(map_keys({tc}),"
+        f"  k -> not k in ({keep_l}, 'other_tags')) "
+        f"or element_at({tc}, 'other_tags') is not null) as need",
+    ]
     if which == "way":
         # area=yes counts only when the style lists 'area' as a way key
         # (wayTags checks it inside the filtered-key branch,
@@ -113,76 +139,103 @@ def with_tag_rewrite(df: DataFrame, which: str = "way",
             "in ('1', 'yes', 'true') ".format(tc=tc)
             if area_tt is not None and area_tt.is_way else ""
         )
-        df = df.withColumn(
-            f"{t}_poly",
-            F.expr(
-                f"{tc} is not null and ("
-                f"exists(map_keys({tc}), k -> k in ({poly_l})) "
-                f"{area_clause}"
-                f"or element_at({tc}, 'boundary') is not null)"
-            ),
+        pack_fields.append(
+            f"{tc} is not null and ("
+            f"exists(map_keys({tc}), k -> k in ({poly_l})) "
+            f"{area_clause}"
+            f"or element_at({tc}, 'boundary') is not null) as poly"
         )
-    df = (
-        df.withColumn(
-            f"{t}_kept",
-            F.expr(f"map_filter({tc}, (k, v) -> k in ({keep_l}))"),
-        )
-        .withColumn(
-            f"{t}_fold",
-            F.expr(
-                f"map_filter({tc}, (k, v) -> not k in ({keep_l}))"
-            ),
-        )
-        .withColumn(
-            f"{t}_need",
-            F.expr(
-                f"{str(fold_enabled).lower()} and {tc} is not null and ("
-                f"exists(map_keys({tc}),"
-                f"  k -> not k in ({keep_l}, 'other_tags')) "
-                f"or element_at({tc}, 'other_tags') is not null)"
-            ),
-        )
-        .withColumn(
-            f"{t}_json",
-            F.expr(
-                f"'{{' || array_join(transform(array_sort("
-                f"map_entries({t}_fold)), "
-                "e -> '\"' || e.key || '\":\"' || e.value || '\"'), ',') "
-                f"|| '}}'"
-            ),
-        )
-        # chars the verbatim fold cannot emit as valid JSON: anything
-        # outside printable ASCII minus '"' (x22) and '\' (x5C)
-        .withColumn(
-            f"{t}_risky",
-            F.expr(
-                f"exists(map_entries({t}_fold), e -> "
-                f"e.key rlike '{_JSON_RISKY_RE}' "
-                f"or e.value rlike '{_JSON_RISKY_RE}')"
-            ),
-        )
-        .withColumn(
-            f"{t}_jesc",
-            _json_fold_udf()(
-                F.expr(f"case when {t}_need and {t}_risky "
-                       f"then {t}_fold end")
-            ),
-        )
-        .withColumn(
-            "tags_out",
-            F.expr(
-                f"case when {tc} is null then null "
-                f"when {t}_need then map_concat({t}_kept, "
-                f"map('other_tags', coalesce({t}_jesc, {t}_json))) "
-                f"else {t}_kept end"
-            ),
-        )
+    fold_sql = f"map_filter({tc}, (k, v) -> not k in ({keep_l}))"
+    # the fold-derived values live INSIDE the pack too (each re-states the
+    # fold expression — sibling struct fields cannot reference each other
+    # — but that only adds references to the materialized input map, not
+    # copies of its producing expression)
+    pack_fields.append(
+        f"'{{' || array_join(transform(array_sort("
+        f"map_entries({fold_sql})), "
+        "e -> '\"' || e.key || '\":\"' || e.value || '\"'), ',') "
+        f"|| '}}' as json"
     )
+    # chars the verbatim fold cannot emit as valid JSON: anything
+    # outside printable ASCII minus '"' (x22) and '\' (x5C)
+    pack_fields.append(
+        f"exists(map_entries({fold_sql}), e -> "
+        f"e.key rlike '{_JSON_RISKY_RE}' "
+        f"or e.value rlike '{_JSON_RISKY_RE}') as risky"
+    )
+    pk = f"{t}_pack"
+    df = df.withColumn(
+        pk, F.expr("struct(" + ", ".join(pack_fields) + ")")
+    )
+    # Exactly TWO projection layers above the pack — the Python-UDF layer
+    # and ONE final fan-out select.  A chain of withColumns here would
+    # re-trigger the transitive inlining the pack exists to stop: each
+    # step referencing the pack once collapses pairwise, duplicating the
+    # pack (and the tags expression inside it) per consumer.  With all
+    # consumers in one projection, CollapseProject's multi-use guard
+    # keeps the pack — and below it the input tags expression —
+    # materialized once per row.
+    df = df.withColumn(
+        f"{t}_jesc",
+        _json_fold_udf()(
+            F.expr(f"case when {pk}.need and {pk}.risky "
+                   f"then {pk}.fold end")
+        ),
+    )
+    tags_out_sql = (
+        f"case when {pk}.isnil then null "
+        f"when {pk}.need then map_concat({pk}.kept, "
+        f"map('other_tags', coalesce({t}_jesc, {pk}.json))) "
+        f"else {pk}.kept end"
+    )
+    extra = [F.expr(tags_out_sql).alias("tags_out")]
     if which == "way":
-        df = with_zorder(df, "tags_out", "z_order", tmp=f"{t}_zo")
-        df = df.withColumn("is_poly", F.col(f"{t}_poly"))
-    df = df.withColumn("is_feature", F.col(f"{t}_feat"))
+        # z-order over the REWRITTEN tags == z-order over the kept map:
+        # find_zorder only reads highway/railway/layer/bridge/tunnel/
+        # z_order, never 'other_tags', and for every key k != 'other_tags'
+        # element_at(tags_out, k) == element_at(kept, k) in all branches
+        # (need=true adds only 'other_tags'; need=false is kept verbatim;
+        # tags null makes both maps null).  Reading the materialized kept
+        # field avoids re-inlining the tags_out construction into the 8
+        # element_at references of the z-order chain.
+        extra.append(F.expr(_zorder_sql(f"{pk}.kept")).alias("z_order"))
+        extra.append(F.col(f"{pk}.poly").alias("is_poly"))
+    extra.append(F.col(f"{pk}.feat").alias("is_feature"))
+    df = df.select("*", *extra)
     return df.drop(*[c for c in df.columns if c.startswith(t)])
+
+
+def _zorder_sql(kept: str) -> str:
+    """find_zorder (zorder.go:60-119) as ONE SQL expression over a cheap
+    map reference (same semantics as the stepped with_zorder below, which
+    remains for callers whose tags column is a plain attribute)."""
+    hw = ", ".join(
+        f"'{k}', {v}L" for k, v in sorted(R.HIGHWAY_ORDER.items())
+    )
+    hwv = (f"coalesce(element_at(map({hw}), "
+           f"element_at({kept}, 'highway')), 0L)")
+    l = (
+        f"coalesce(try_cast(element_at({kept}, 'layer') as bigint), 0L) "
+        f"+ (case when element_at({kept}, 'bridge') is not null and "
+        f"not lower(element_at({kept}, 'bridge')) in ('0','no','false')"
+        f" then 1L else 0L end) "
+        f"- (case when element_at({kept}, 'tunnel') is not null and "
+        f"not lower(element_at({kept}, 'tunnel')) in ('0','no','false')"
+        f" then 1L else 0L end)"
+    )
+    base = (
+        f"greatest(case when {hwv} > 1 then {hwv} else 0L end, "
+        f"case when element_at({kept}, 'railway') is not null "
+        f"then 5L else 0L end)"
+    )
+    return (
+        f"case when coalesce(element_at({kept}, 'z_order'), '') != ''"
+        f" then (case when try_cast(element_at({kept}, 'z_order')"
+        f" as bigint) is null then 0L else"
+        f" try_cast(element_at({kept}, 'z_order') as bigint)"
+        f" + ({l}) * 10 end) "
+        f"else {base} + ({l}) * 10 end"
+    )
 
 
 def with_zorder(df: DataFrame, tags_col: str = "tags",
