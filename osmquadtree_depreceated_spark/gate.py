@@ -1142,7 +1142,12 @@ def _ylut_cte() -> str | None:
         )
         lats = con.execute(
             tpch.synth_cte_prefix("nodes")
-            + "\nselect distinct lat from nodes"
+            # order by: DISTINCT output order is process-dependent
+            # (hash-seeded), and this order is FROZEN into the oracle SQL
+            # text — unsorted, the same tree produced different q26/q38
+            # oracle text run-to-run (semantics identical; the driver
+            # fingerprints the text)
+            + "\nselect distinct lat from nodes order by lat"
         ).fetchnumpy()["lat"].astype(np.int64)
         con.close()
     except Exception:
@@ -2102,13 +2107,24 @@ _WAY_TAG_CASES = {
     "randomkey": ("way_id % 2 = 0", "'rv' || (way_id % 6)"),
 }
 
+# The tags map derives from mw = max(way_id), which per group IS way_id
+# (max of the grouping key over its own group) — value-identical, but an
+# AGGREGATE output: Catalyst cannot substitute a predicate through it, so
+# a consumer filter over the (expensive-to-substitute) tags map stops at
+# this boundary and evaluates once per way instead of once per way_refs
+# ROW.  Without the barrier, q31's `element_at(tags_out,'highway') is
+# not null` was pushed below the distinct with the entire tag rewrite —
+# including its Python UDF — inlined, re-evaluated per 600k base rows
+# (40x row amplification; 13 s of a 14.7k-row stage at sf0.1).
+# Predicates on way_id itself still push all the way down.
 _WAY_TAGS_SPARK_SQL = """
 select way_id,
   map_filter(map(""" + ", ".join(
     f"'{k}', case when {cond} then cast({val} as string) end"
+    .replace("way_id", "mw")
     for k, (cond, val) in _WAY_TAG_CASES.items()
 ) + """), (k, v) -> v is not null) as tags
-from (select distinct way_id from way_refs) w
+from (select way_id, max(way_id) as mw from way_refs group by way_id) w
 """
 
 
@@ -2975,7 +2991,10 @@ def q49_oracle_build() -> str | None:
         cell = sqlgen.point_cell_sql(DUCK, "lon", "lat", 18)
         cells = [r[0] for r in con.execute(
             tpch.synth_cte_prefix("nodes")
-            + f"\nselect distinct {cell} as cell from nodes"
+            # order by: freeze a deterministic cell order into the
+            # generated oracle text (see the ylut note — DISTINCT order
+            # is process-dependent)
+            + f"\nselect distinct {cell} as cell from nodes order by cell"
         ).fetchall()]
         con.close()
     except Exception:

@@ -53,16 +53,17 @@ def _json_fold_udf():
 
         return m.map(f)
 
-    # Value-deterministic, but FLAGGED nondeterministic on purpose: a
-    # consumer predicate over tags_out textually contains this UDF
-    # (tags_out = ... coalesce(jesc, json) ...), and Catalyst pushes
-    # deterministic predicates below the rewrite — through the input
-    # view's distinct — re-evaluating the entire inlined rewrite (plus a
-    # second ArrowEvalPython for this UDF) once per BASE row instead of
-    # once per aggregated row (measured 40x row amplification, 13 s of a
-    # 14.7k-row q31 stage at sf0.1).  The flag keeps every filter above
-    # the rewrite projection, where tags_out is a materialized column.
-    return _jfold.asNondeterministic()
+    # NOTE: deliberately left deterministic.  An asNondeterministic()
+    # flag here would also stop predicate pushdown below the rewrite —
+    # which fixes the q31 pushdown blowup but was measured to tip the
+    # 72-gate single-session stress run at sf0.1 into executor OOM at
+    # default heap (filters that prune rows early stopped pushing for
+    # every rewrite consumer).  The pushdown blowup is instead fenced at
+    # its source: the synthesized tags views derive the map from an
+    # aggregate output (gate._WAY_TAGS_SPARK_SQL), which predicates
+    # cannot cross, so expensive tag predicates stop at the per-way
+    # boundary while cheap row filters keep pushing.
+    return _jfold
 
 
 def with_tag_rewrite(df: DataFrame, which: str = "way",
